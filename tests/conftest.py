@@ -1,0 +1,37 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX init.
+
+Multi-chip sharding paths run in CI on any host via
+`--xla_force_host_platform_device_count` (SURVEY.md §4's simulated-multihost
+strategy); TPU access is not required for the test suite.
+"""
+
+import os
+
+# Force, don't setdefault: the environment may pin JAX_PLATFORMS to a TPU
+# plugin (e.g. axon) and may even pre-import jax from sitecustomize, so the
+# env var alone is not enough — also override via jax.config below.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    f"tests must run on CPU, got {jax.default_backend()}"
+)
+assert len(jax.devices()) == 8, (
+    "expected 8 virtual CPU devices; XLA_FLAGS was applied too late: "
+    f"{len(jax.devices())}"
+)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(12345)

@@ -1,0 +1,94 @@
+"""End-to-end solver tests on synthetic LPs against the scipy/HiGHS oracle."""
+
+import numpy as np
+import pytest
+
+from tpdlp import SolverConfig, Status, generate_feasible_lp, solve
+from tests.oracles import solve_oracle
+
+
+def _check_against_oracle(problem, result, tol_obj=1e-3):
+    oracle = solve_oracle(problem)
+    assert oracle.status == 0, "oracle failed on a supposedly feasible LP"
+    assert result.status == Status.SOLVED, (
+        f"status={result.status_string} rp={result.primal_res:.2e} "
+        f"rd={result.dual_res:.2e} gap={result.gap:.2e}"
+    )
+    assert result.objective == pytest.approx(
+        oracle.fun, rel=tol_obj, abs=tol_obj
+    )
+
+
+def test_tiny_lp_fixed_step():
+    problem = generate_feasible_lp(n=20, m_ineq=12, m_eq=4, seed=1)
+    cfg = SolverConfig(tol=1e-6, max_kkt=40_000)
+    result = solve(problem, cfg)
+    _check_against_oracle(problem, result)
+
+
+def test_medium_lp_all_features():
+    problem = generate_feasible_lp(n=60, m_ineq=40, m_eq=10, seed=2)
+    cfg = SolverConfig(
+        tol=1e-6,
+        max_kkt=60_000,
+        scaling="ruiz",
+        adaptive=True,
+        primal_weight_update=True,
+    )
+    result = solve(problem, cfg)
+    _check_against_oracle(problem, result)
+
+
+def test_equality_only_lp():
+    problem = generate_feasible_lp(n=30, m_ineq=0, m_eq=12, seed=3)
+    cfg = SolverConfig(tol=1e-6, max_kkt=40_000, scaling="ruiz")
+    result = solve(problem, cfg)
+    _check_against_oracle(problem, result)
+
+
+def test_inequality_only_lp():
+    problem = generate_feasible_lp(n=30, m_ineq=20, m_eq=0, seed=4)
+    cfg = SolverConfig(tol=1e-6, max_kkt=40_000)
+    result = solve(problem, cfg)
+    _check_against_oracle(problem, result)
+
+
+def test_adaptive_linesearch_rule():
+    problem = generate_feasible_lp(n=40, m_ineq=25, m_eq=8, seed=5)
+    cfg = SolverConfig(
+        tol=1e-6, max_kkt=60_000, adaptive=True, adaptive_rule="linesearch",
+        scaling="ruiz",
+    )
+    result = solve(problem, cfg)
+    _check_against_oracle(problem, result)
+
+
+def test_high_accuracy_fp64():
+    problem = generate_feasible_lp(n=40, m_ineq=30, m_eq=5, seed=6)
+    cfg = SolverConfig(
+        tol=1e-8, max_kkt=100_000, scaling="ruiz", adaptive=True,
+        primal_weight_update=True,
+    )
+    result = solve(problem, cfg, dtype=np.float64)
+    _check_against_oracle(problem, result, tol_obj=1e-6)
+    assert result.primal_res <= 1e-8 * (1 + np.linalg.norm(problem.q))
+
+
+def test_kkt_budget_respected():
+    problem = generate_feasible_lp(n=50, m_ineq=40, m_eq=10, seed=7)
+    cfg = SolverConfig(tol=1e-12, max_kkt=500)
+    result = solve(problem, cfg)
+    # Budget exhausted: may still be declared solved by the final check, but
+    # j must not blow past the budget by more than one iteration's passes.
+    assert result.kkt_passes <= 520
+
+
+def test_reporting_fields_consistent():
+    problem = generate_feasible_lp(n=20, m_ineq=10, m_eq=5, seed=8)
+    result = solve(problem, SolverConfig(tol=1e-6, max_kkt=40_000))
+    row = result.csv_row(problem.name)
+    assert set(row) == {
+        "File", "Objective", "Iterations (k)", "Restarts (n)",
+        "KKT Passes (j)", "Time (s)", "Status",
+    }
+    assert result.iterations > 0 and result.kkt_passes >= result.iterations

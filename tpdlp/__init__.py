@@ -1,0 +1,51 @@
+"""tpdlp — a TPU-native restarted-PDHG linear-programming solver.
+
+A from-scratch JAX/XLA/Pallas implementation of the restarted Primal-Dual
+Hybrid Gradient (PDLP) algorithm for general linear programs in the standard
+form used by the reference torchPDLP (reference: PDLP/util.py:76-84):
+
+    minimize    c'x
+    subject to  G x >= h     (m_ineq inequality rows)
+                A x  = b     (m_eq equality rows)
+                l <= x <= u  (box bounds, entries may be +-inf)
+
+with G and A stacked as K = [G; A], q = [h; b].
+
+Unlike the reference (a host-driven Python loop issuing torch kernels), the
+entire restarted iteration — steps, averaging, restart decisions, KKT
+residuals, termination, and infeasibility certificates — runs on-device
+inside a single `lax.while_loop`, with host synchronisation only at coarse
+chunk boundaries (for wall-clock limits).  The SpMV pair K x / K'y is the
+only O(nnz) work per iteration: the loop carry holds K x and K'y so that
+adaptive stepsizes, restart metrics and infeasibility certificates reuse
+them instead of issuing extra SpMVs.
+"""
+
+import jax as _jax
+
+# LP solving at 1e-8 relative KKT tolerance requires float64 accumulation to
+# be *available* (array dtypes remain configurable; TPU iterates in fp32 by
+# default).  Enable once at import, before any tracing happens.
+_jax.config.update("jax_enable_x64", True)
+
+from tpdlp.config import SolverConfig, Status
+from tpdlp.problem import LPProblem
+from tpdlp.solver.solve import solve, SolveResult
+from tpdlp.io.mps import read_mps, mps_to_standard_form
+from tpdlp.io.generator import generate_feasible_lp, generate_infeasible_lp
+from tpdlp.timer import Timer
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SolverConfig",
+    "Status",
+    "LPProblem",
+    "solve",
+    "SolveResult",
+    "read_mps",
+    "mps_to_standard_form",
+    "generate_feasible_lp",
+    "generate_infeasible_lp",
+    "Timer",
+]

@@ -1,0 +1,119 @@
+"""Solver configuration and status codes.
+
+The reference scatters its hyper-parameters as inline constants
+(beta=[0.2,0.8,0.36] at PDLP/primal_dual_hybrid_gradient.py:28,
+restart_period=40 at :7, eta safety 0.9 at :22, theta_smooth=0.5 at :151,
+adaptive exponents -0.3/-0.6 at PDLP/primal_dual_hybrid_gradient_step.py:102-107,
+Ruiz max_iter=20/eps=1e-6 at PDLP/enhancements.py:4).  Here they live in one
+frozen (hashable) dataclass so the whole configuration can be a static jit
+argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class Status(enum.IntEnum):
+    """Solver status codes (device-side int32; mapped to the reference's
+    status strings at PDLP/primal_dual_hybrid_gradient.py:51,71,145,174 for
+    CLI parity)."""
+
+    RUNNING = 0
+    SOLVED = 1
+    KKT_LIMIT = 2
+    TIME_LIMIT = 3
+    DUAL_INFEASIBLE = 4
+    PRIMAL_INFEASIBLE = 5
+    NUMERICAL_ERROR = 6
+
+    def describe(self) -> str:
+        return _STATUS_STRINGS[self]
+
+
+# Reference status strings, for CSV/report parity with PDLP/main.py:142-150.
+_STATUS_STRINGS = {
+    Status.RUNNING: "Running",
+    Status.SOLVED: "Solved",
+    Status.KKT_LIMIT: "Unsolved (KKT passes limit exceeded)",
+    Status.TIME_LIMIT: "Unsolved (Time limit exceeded)",
+    Status.DUAL_INFEASIBLE: "DUAL_INFEASIBLE",
+    Status.PRIMAL_INFEASIBLE: "PRIMAL_INFEASIBLE",
+    Status.NUMERICAL_ERROR: "Unsolved (Numerical error)",
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static configuration for the restarted-PDHG solver.
+
+    Frozen + hashable so it can be passed as a `static_argnames` jit argument;
+    every distinct config compiles its own specialised loop (feature flags are
+    Python-level branches, so disabled features cost nothing on device).
+    """
+
+    # Termination (PDLP/helpers.py:110-128).
+    tol: float = 1e-4
+    #: Use |gap| instead of signed gap in the gap criterion.  The reference
+    #: uses the signed gap (helpers.py:127) so a negative gap passes
+    #: trivially; |gap| is the standard PDLP criterion.
+    abs_gap_termination: bool = False
+
+    # Work / time budgets (PDLP/main.py:34-37).
+    max_kkt: int = 100_000
+    time_limit: float = 3600.0
+
+    # Restart scheme (PDLP/primal_dual_hybrid_gradient.py:7,28,115-142).
+    restart_period: int = 40
+    beta_sufficient: float = 0.2
+    beta_necessary: float = 0.8
+    beta_artificial: float = 0.36
+
+    # Step sizes.
+    adaptive: bool = False
+    #: "reference": exactly the reference's rule — take the step regardless,
+    #: update eta by the Malitsky-Pock bound (its 200-trial loop returns after
+    #: one trial: primal_dual_hybrid_gradient_step.py:71,113-115).
+    #: "linesearch": true bounded backtracking line search (retry the step
+    #: with the reduced eta until eta <= eta_bar), as in PDLP proper.
+    adaptive_rule: str = "reference"
+    max_backtracks: int = 20
+    #: Reduction/growth exponents (step.py:102,107).
+    adaptive_shrink_exponent: float = -0.3
+    adaptive_grow_exponent: float = -0.6
+
+    # Primal-weight (omega) update (PDLP/enhancements.py:73-78).
+    primal_weight_update: bool = False
+    theta_smooth: float = 0.5
+
+    # Infeasibility certificates (PDLP/enhancements.py:80-161).
+    infeasibility_detect: bool = False
+    infeas_tol: float = 1e-4
+
+    # Initialisation (PDLP/primal_dual_hybrid_gradient.py:22-25).
+    eta_safety: float = 0.9
+    power_iters: int = 100
+    theta: float = 1.0  # extrapolation
+
+    # Scaling: "none" | "ruiz" | "ruiz+pc" (Ruiz then Pock-Chambolle).
+    scaling: str = "none"
+    ruiz_iters: int = 20
+    ruiz_eps: float = 1e-6
+    pock_chambolle_alpha: float = 1.0
+
+    #: Reference computes termination norms ||q||,||c|| from the *scaled*
+    #: data handed to pdlp_algorithm (primal_dual_hybrid_gradient.py:19-20)
+    #: while the residuals themselves are unscaled (:157-163).  True mirrors
+    #: that; False uses unscaled norms (self-consistent).
+    compat_scaled_norms: bool = True
+
+    # Host/device chunking: number of KKT passes per device dispatch before
+    # the host checks wall-clock time and terminal status.
+    chunk_kkt_init: int = 250
+    chunk_kkt_max: int = 8000
+
+    verbose: bool = False
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)

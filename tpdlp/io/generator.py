@@ -1,0 +1,119 @@
+"""Synthetic LP generators with known feasibility status.
+
+Reference analog: Packages/generate_feasible_lp.py:5-60 (random sparse G, A
+around a planted feasible point).  Extended here with *infeasible*
+constructions (Farkas certificates planted by construction) so the
+infeasibility detectors have labelled fixtures — the reference relied on the
+Netlib infeasible set, which is not vendored.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from tpdlp.problem import LPProblem
+
+
+def generate_feasible_lp(
+    n: int = 50,
+    m_ineq: int = 30,
+    m_eq: int = 10,
+    density: float = 0.3,
+    seed: int = 0,
+    box: bool = True,
+) -> LPProblem:
+    """Random LP guaranteed feasible via a planted point x*.
+
+    Mirrors the reference construction (generate_feasible_lp.py:18-42):
+    h = G x* - U(0.1, 5) (so G x* > h), b = A x*, box bounds straddling x*,
+    normal objective.  Bounded below by the box, so an optimum exists.
+    """
+    rng = np.random.default_rng(seed)
+    G = sp.random(m_ineq, n, density=density, random_state=rng, format="csr")
+    G.data = rng.standard_normal(G.nnz)
+    A = sp.random(m_eq, n, density=density, random_state=rng, format="csr")
+    A.data = rng.standard_normal(A.nnz)
+
+    x_star = rng.uniform(-5, 5, size=n)
+    h = G @ x_star - rng.uniform(0.1, 5.0, size=m_ineq)
+    b = A @ x_star
+
+    if box:
+        l = np.clip(x_star - rng.uniform(1, 5, size=n), -1e4, None)
+        u = np.clip(x_star + rng.uniform(1, 5, size=n), None, 1e4)
+    else:
+        l = np.full(n, -np.inf)
+        u = np.full(n, np.inf)
+    c = rng.standard_normal(n)
+
+    K = sp.vstack([G, A]).tocsr()
+    q = np.concatenate([h, b])
+    return LPProblem(
+        c=c, K=K, q=q, m_ineq=m_ineq, l=l, u=u,
+        name=f"synth_feasible_n{n}_m{m_ineq + m_eq}_s{seed}",
+    )
+
+
+def generate_infeasible_lp(
+    n: int = 40,
+    m_eq: int = 10,
+    density: float = 0.4,
+    seed: int = 0,
+) -> LPProblem:
+    """Primal-infeasible LP by construction (contradictory equalities).
+
+    The last equality row is the sum of the previous rows but with RHS
+    shifted by 1, so y = (0,...,0, 1, -1/k...) provides a Farkas certificate:
+    y'A = 0, y'b != 0 with bounds absent from the conflict (x >= large
+    negative box keeps the bound terms inert).
+    """
+    rng = np.random.default_rng(seed)
+    A = sp.random(m_eq, n, density=density, random_state=rng, format="csr")
+    A.data = rng.standard_normal(A.nnz)
+    A = A.toarray()
+    x0 = rng.uniform(-1, 1, size=n)
+    b = A @ x0
+    # Contradictory row: same coefficients as the sum of all rows, RHS + 1.
+    extra = A.sum(axis=0)
+    A_full = np.vstack([A, extra])
+    b_full = np.concatenate([b, [b.sum() + 1.0]])
+
+    c = rng.standard_normal(n)
+    l = np.full(n, -1e6)
+    u = np.full(n, 1e6)
+    return LPProblem(
+        c=c,
+        K=sp.csr_matrix(A_full),
+        q=b_full,
+        m_ineq=0,
+        l=l,
+        u=u,
+        name=f"synth_infeasible_n{n}_m{m_eq + 1}_s{seed}",
+    )
+
+
+def generate_unbounded_lp(n: int = 30, m_ineq: int = 10, seed: int = 0) -> LPProblem:
+    """Dual-infeasible (primal unbounded) LP: a free descent direction.
+
+    One variable has +inf upper bound, negative cost, and a zero column, so
+    pushing it to +inf decreases the objective without touching constraints.
+    """
+    rng = np.random.default_rng(seed)
+    G = rng.standard_normal((m_ineq, n))
+    G[:, 0] = 0.0  # the ray variable appears in no constraint
+    x0 = rng.uniform(-1, 1, size=n)
+    h = G @ x0 - rng.uniform(0.1, 2.0, size=m_ineq)
+    c = rng.standard_normal(n)
+    c[0] = -1.0
+    l = np.zeros(n)
+    u = np.full(n, np.inf)
+    return LPProblem(
+        c=c,
+        K=sp.csr_matrix(G),
+        q=h,
+        m_ineq=m_ineq,
+        l=l,
+        u=u,
+        name=f"synth_unbounded_n{n}_s{seed}",
+    )

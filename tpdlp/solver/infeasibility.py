@@ -1,0 +1,143 @@
+"""Ray-based primal/dual infeasibility certificates — fully vectorised.
+
+Reference analog: PDLP/enhancements.py:80-161 (`detect_infeasibility`), whose
+per-variable Python loop over the bound cone (enhancements.py:126-138) is
+replaced by mask algebra, and whose two extra SpMVs (K @ dx at :116-119 and
+K' @ dy at :145) come for free from the carried operator products:
+K dx = kx - kx_prev, K'dy = kty - kty_prev.
+
+Certificates from iterate differences (dx, dy, dlam), *normalised to unit
+rays* with strict objective-movement conditions — two deliberate fixes over
+the reference (each verified against planted infeasible/unbounded fixtures):
+
+1. The reference's unnormalised test passes trivially once the iterates
+   converge (dx -> 0 satisfies every dual-infeasibility condition at
+   enhancements.py:116-138, and dy, dlam -> 0 satisfies the primal one at
+   :145-158, since `dual_combo ~ 0 > -tol`), mislabelling slow feasible
+   solves.  Normalising the ray and requiring strict descent/ascent
+   (c'r <= -tol, resp. ray dual objective >= tol) removes the trivial pass:
+   a zero difference yields a zero normalised ray which fails the strict
+   condition.
+2. The reference's recession-cone test adds sign conditions on c
+   (enhancements.py:133-135: u=+inf requires c_i >= 0) that the descent-ray
+   variable can never satisfy (unboundedness needs c'dx < 0 concentrated on
+   unbounded variables), so its DUAL_INFEASIBLE branch cannot fire on a
+   genuinely unbounded LP.  The correct recession cone of [l, u] is used
+   instead:  l finite & u = +inf  ->  dx_i >= 0;  l = -inf & u finite ->
+   dx_i <= 0;  both finite -> dx_i = 0;  both infinite -> free.
+
+The ray dual-objective rate uses the adjusted-dual pairing
+q'dy + l'(dlam)_+ + u'(dlam)_- (matching the dual objective at
+PDLP/helpers.py:81-84); the reference's two copies disagree on the dlam sign
+convention (enhancements.py:111-112 vs experiments/InfeasibilityDetection3.py:398-399).
+
+Also implemented: the normalized-iterate / normalized-average certificate
+families from experiments/InfeasibilityDetection3.py:339-390.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tpdlp.config import Status
+
+
+def _normalize(v, norm):
+    return jnp.where(norm > 0.0, v / jnp.where(norm > 0.0, norm, 1.0), 0.0)
+
+
+def detect_infeasibility(
+    pb,
+    x, y, x_prev, y_prev,
+    lam, lam_prev,
+    k_dx,  # (m,)  K (x - x_prev), from carried products
+    kt_dy,  # (n,)  K'(y - y_prev)
+    tol,
+):
+    """Return an int32 status: RUNNING, DUAL_INFEASIBLE or PRIMAL_INFEASIBLE."""
+    dx = x - x_prev
+    dy = y - y_prev
+    dlam = lam - lam_prev
+
+    ineq = pb.ineq_mask
+
+    # ---- Dual infeasibility (primal unbounded ray) ----
+    dx_norm = jnp.linalg.norm(dx)
+    r = _normalize(dx, dx_norm)
+    k_r = _normalize(k_dx, dx_norm)
+
+    eq_part = jnp.where(ineq, 0.0, k_r)
+    ineq_part = jnp.where(ineq, k_r, jnp.inf)  # inf passes the >= -tol test
+
+    equality_ok = jnp.linalg.norm(eq_part) <= tol
+    inequality_ok = jnp.all(ineq_part >= -tol)
+    objective_ok = jnp.dot(pb.c, r) <= -tol  # strict descent along the ray
+
+    # Recession-cone membership of [l, u], vectorised.
+    finite_both = ~pb.is_neg_inf & ~pb.is_pos_inf
+    lo_only = ~pb.is_neg_inf & pb.is_pos_inf  # l finite, u = +inf
+    hi_only = pb.is_neg_inf & ~pb.is_pos_inf  # l = -inf, u finite
+    ok = jnp.where(finite_both, jnp.abs(r) <= tol, True)
+    ok &= jnp.where(lo_only, r >= -tol, True)
+    ok &= jnp.where(hi_only, r <= tol, True)
+    bounds_ok = jnp.all(ok)
+
+    dual_infeasible = equality_ok & inequality_ok & objective_ok & bounds_ok
+
+    # ---- Primal infeasibility (dual unbounded ray) ----
+    ray_norm = jnp.sqrt(jnp.vdot(dy, dy) + jnp.vdot(dlam, dlam))
+    yr = _normalize(dy, ray_norm)
+    lr = _normalize(dlam, ray_norm)
+    kt_yr = _normalize(kt_dy, ray_norm)
+
+    dual_res_ok = jnp.linalg.norm(kt_yr - lr) <= tol
+    dy_sign_ok = jnp.all(jnp.where(ineq, yr, 0.0) >= -tol)
+
+    # Dual-objective growth rate along the ray (cf. adjusted dual,
+    # PDLP/helpers.py:81-84): must be strictly positive.
+    combo = (
+        jnp.dot(pb.q, yr)
+        + jnp.dot(pb.l_dual, jnp.maximum(lr, 0.0))
+        + jnp.dot(pb.u_dual, jnp.minimum(lr, 0.0))
+    )
+    primal_infeasible = dual_res_ok & dy_sign_ok & (combo >= tol)
+
+    return jnp.where(
+        dual_infeasible,
+        jnp.int32(Status.DUAL_INFEASIBLE),
+        jnp.where(
+            primal_infeasible,
+            jnp.int32(Status.PRIMAL_INFEASIBLE),
+            jnp.int32(Status.RUNNING),
+        ),
+    )
+
+
+def normalized_iterate_certificates(
+    x, y, x_norm_prev, y_norm_prev, k, tol_conv=1e-4, tol_nonzero=1e-3
+):
+    """Normalized-iterate convergence certificates
+    (experiments/InfeasibilityDetection3.py:339-364).
+
+    x/k converging to a nonzero point => DUAL_INFEASIBLE;
+    y/k converging to a nonzero point => PRIMAL_INFEASIBLE.
+    Returns (status, x_norm, y_norm) where *_norm are this iteration's
+    normalized iterates (to carry as next call's previous values).
+    """
+    kf = jnp.maximum(k.astype(x.dtype), 1.0)
+    x_norm = x / kf
+    y_norm = y / kf
+    x_conv = jnp.linalg.norm(x_norm - x_norm_prev) < tol_conv
+    x_nonzero = jnp.linalg.norm(x_norm) > tol_nonzero
+    y_conv = jnp.linalg.norm(y_norm - y_norm_prev) < tol_conv
+    y_nonzero = jnp.linalg.norm(y_norm) > tol_nonzero
+    status = jnp.where(
+        x_conv & x_nonzero,
+        jnp.int32(Status.DUAL_INFEASIBLE),
+        jnp.where(
+            y_conv & y_nonzero,
+            jnp.int32(Status.PRIMAL_INFEASIBLE),
+            jnp.int32(Status.RUNNING),
+        ),
+    )
+    return status, x_norm, y_norm

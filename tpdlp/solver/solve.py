@@ -1,0 +1,198 @@
+"""Public solve API: preprocessing, chunked device loop, result assembly.
+
+Reference analog: `pdlp_algorithm` (PDLP/primal_dual_hybrid_gradient.py:7-181)
+plus the per-instance orchestration of PDLP/main.py:104-137 (scaling, warm
+start, solve).  Differences by design:
+
+- The iteration loop is fully device-resident (`tpdlp.solver.loop`); the
+  host only re-dispatches bounded chunks of KKT passes so wall-clock limits
+  are enforced without per-iteration `time.time()` syncs (the reference
+  polls the clock every iteration, :68-74).
+- Scaling, power iteration, and init are jitted.
+- Results carry both raw arrays and the reference's CSV fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpdlp.config import SolverConfig, Status
+from tpdlp.problem import LPProblem, device_problem, to_device_arrays
+from tpdlp.scaling.ruiz import scale_problem
+from tpdlp.solver.loop import run_chunk, final_eval
+from tpdlp.solver.power_iteration import spectral_norm_estimate
+from tpdlp.solver.state import init_state
+
+
+@dataclasses.dataclass
+class SolveResult:
+    """Solver output (reference CSV schema: PDLP/main.py:142-150)."""
+
+    x: np.ndarray  # primal solution in the original (unscaled) space
+    y: np.ndarray  # dual solution in the original space
+    objective: float  # c'x on the original problem
+    iterations: int  # k
+    restarts: int  # n
+    kkt_passes: int  # j
+    status: Status
+    solve_time: float
+    primal_res: float
+    dual_res: float
+    gap: float
+
+    @property
+    def status_string(self) -> str:
+        return self.status.describe()
+
+    def csv_row(self, name: str) -> dict:
+        return {
+            "File": name,
+            "Objective": f"{self.objective:.6f}",
+            "Iterations (k)": self.iterations,
+            "Restarts (n)": self.restarts,
+            "KKT Passes (j)": self.kkt_passes,
+            "Time (s)": f"{self.solve_time:.4f}",
+            "Status": self.status_string,
+        }
+
+
+def _build_device_problem(op, c, q, l, u, m_ineq, cfg: SolverConfig):
+    """Scale and assemble the DeviceProblem (jit-compiled inner)."""
+
+    @functools.partial(jax.jit, static_argnames=("method",))
+    def inner(op, c, q, l, u, method):
+        op_s, c_s, q_s, l_s, u_s, d_row, d_col = scale_problem(
+            op, c, q, l, u,
+            method=method,
+            ruiz_iters=cfg.ruiz_iters,
+            ruiz_eps=cfg.ruiz_eps,
+            pc_alpha=cfg.pock_chambolle_alpha,
+        )
+        return op_s, c_s, q_s, l_s, u_s, d_row, d_col
+
+    op_s, c_s, q_s, l_s, u_s, d_row, d_col = inner(op, c, q, l, u, cfg.scaling)
+    if cfg.scaling == "none":
+        return device_problem(
+            op_s, c_s, q_s, l_s, u_s, m_ineq,
+            compat_scaled_norms=cfg.compat_scaled_norms,
+        )
+    return device_problem(
+        op_s, c_s, q_s, l_s, u_s, m_ineq,
+        d_row=d_row, d_col=d_col,
+        c0=c, q0=q, l0=l, u0=u,
+        compat_scaled_norms=cfg.compat_scaled_norms,
+    )
+
+
+def _eta_omega_init(pb, cfg: SolverConfig, seed: int):
+    """eta = 0.9/||K||_2 (100 power iters), omega = ||c||/||q|| guarded
+    (primal_dual_hybrid_gradient.py:19-23)."""
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def inner(pb, key, iters):
+        norm = spectral_norm_estimate(pb.op, key, iters)
+        eta0 = cfg.eta_safety / norm
+        c_norm = jnp.linalg.norm(pb.c)
+        q_norm = jnp.linalg.norm(pb.q)
+        omega0 = jnp.where(
+            (q_norm > 1e-6) & (c_norm > 1e-6),
+            c_norm / q_norm,
+            jnp.ones((), pb.c.dtype),
+        )
+        return eta0, omega0
+
+    key = jax.random.PRNGKey(seed)
+    return inner(pb, key, cfg.power_iters)
+
+
+def default_dtype():
+    """fp64 on CPU (1e-8 work), fp32 on TPU (MXU-native; fp64 is emulated)."""
+    return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+
+
+def solve(
+    problem: LPProblem,
+    config: SolverConfig = SolverConfig(),
+    *,
+    dtype=None,
+    x0: Optional[np.ndarray] = None,
+    y0: Optional[np.ndarray] = None,
+    seed: int = 0,
+    time_used: float = 0.0,
+) -> SolveResult:
+    """Solve a standard-form LP with restarted PDHG.
+
+    `time_used` is preprocessing time already spent (counts against
+    config.time_limit, as in the reference's `time_used` threading,
+    PDLP/main.py:107-136).
+    """
+    start = time.perf_counter()
+    cfg = config
+    problem.validate()
+    if dtype is None:
+        dtype = default_dtype()
+
+    op, c, q, l, u = to_device_arrays(problem, dtype)
+    pb = _build_device_problem(op, c, q, l, u, problem.m_ineq, cfg)
+    eta0, omega0 = _eta_omega_init(pb, cfg, seed)
+
+    x0j = None if x0 is None else jnp.asarray(x0, dtype)
+    y0j = None if y0 is None else jnp.asarray(y0, dtype)
+    st = init_state(pb, eta0, omega0, x0j, y0j)
+
+    # ---- chunked device loop with host-side wall-clock enforcement ----
+    chunk = cfg.chunk_kkt_init
+    timed_out = False
+    while True:
+        j_done = int(st.j)
+        if int(st.status) != Status.RUNNING or j_done >= cfg.max_kkt:
+            break
+        elapsed = time.perf_counter() - start + time_used
+        if elapsed >= cfg.time_limit:
+            timed_out = True
+            break
+        budget = min(cfg.max_kkt, j_done + chunk)
+        st = run_chunk(st, pb, jnp.int32(budget), cfg)
+        st.status.block_until_ready()
+        chunk = min(chunk * 2, cfg.chunk_kkt_max)
+        if cfg.verbose:
+            print(
+                f"[k={int(st.k)} j={int(st.j)} n={int(st.n_restarts)}] "
+                f"obj={float(st.prim_obj):.6e} rp={float(st.primal_res):.2e} "
+                f"rd={float(st.dual_res):.2e} gap={float(st.gap):.2e}"
+            )
+
+    status = Status(int(st.status))
+    if timed_out and status == Status.RUNNING:
+        status = Status.TIME_LIMIT
+    elif status == Status.RUNNING:
+        # KKT budget exhausted: the reference still runs one last residual
+        # evaluation that may declare Solved (:148-177).
+        st = final_eval(st, pb, cfg)
+        status = Status(int(st.status))
+
+    # Unscale the solution (x = d_col x_s, y = d_row y_s; reference :158-161).
+    x_out = np.asarray(pb.d_col * st.x)
+    y_out = np.asarray(pb.d_row * st.y)
+    objective = float(np.dot(np.asarray(pb.c0), x_out))
+
+    return SolveResult(
+        x=x_out,
+        y=y_out,
+        objective=objective,
+        iterations=int(st.k),
+        restarts=int(st.n_restarts),
+        kkt_passes=int(st.j),
+        status=status,
+        solve_time=time.perf_counter() - start + time_used,
+        primal_res=float(st.primal_res),
+        dual_res=float(st.dual_res),
+        gap=float(st.gap),
+    )
