@@ -137,12 +137,15 @@ def device_problem(
     q0=None,
     l0=None,
     u0=None,
+    ineq_mask=None,
     compat_scaled_norms: bool = True,
 ) -> DeviceProblem:
     """Assemble a DeviceProblem from (possibly scaled) arrays.
 
     When `d_row`/`d_col` are None the problem is unscaled and the original
-    data coincides with the scaled data.
+    data coincides with the scaled data.  `ineq_mask` overrides the default
+    prefix mask (used by padded/sharded layouts where zero-padded rows are
+    marked as inequalities so their residual contribution vanishes).
     """
     m, n = op.shape
     dtype = c.dtype
@@ -154,7 +157,10 @@ def device_problem(
 
     is_neg_inf = jnp.isneginf(l)
     is_pos_inf = jnp.isposinf(u)
-    ineq_mask = jnp.arange(m) < m_ineq
+    if ineq_mask is None:
+        ineq_mask = jnp.arange(m) < m_ineq
+    else:
+        ineq_mask = jnp.asarray(ineq_mask)
 
     # Reference zeroes infinite bounds in the adjusted-dual inner products
     # (primal_dual_hybrid_gradient.py:14-17,159-160).

@@ -63,7 +63,8 @@ class SolveResult:
         }
 
 
-def _build_device_problem(op, c, q, l, u, m_ineq, cfg: SolverConfig):
+def _build_device_problem(op, c, q, l, u, m_ineq, cfg: SolverConfig,
+                          ineq_mask=None):
     """Scale and assemble the DeviceProblem (jit-compiled inner)."""
 
     @functools.partial(jax.jit, static_argnames=("method",))
@@ -81,12 +82,14 @@ def _build_device_problem(op, c, q, l, u, m_ineq, cfg: SolverConfig):
     if cfg.scaling == "none":
         return device_problem(
             op_s, c_s, q_s, l_s, u_s, m_ineq,
+            ineq_mask=ineq_mask,
             compat_scaled_norms=cfg.compat_scaled_norms,
         )
     return device_problem(
         op_s, c_s, q_s, l_s, u_s, m_ineq,
         d_row=d_row, d_col=d_col,
         c0=c, q0=q, l0=l, u0=u,
+        ineq_mask=ineq_mask,
         compat_scaled_norms=cfg.compat_scaled_norms,
     )
 
@@ -126,12 +129,19 @@ def solve(
     y0: Optional[np.ndarray] = None,
     seed: int = 0,
     time_used: float = 0.0,
+    mesh=None,
 ) -> SolveResult:
     """Solve a standard-form LP with restarted PDHG.
 
     `time_used` is preprocessing time already spent (counts against
     config.time_limit, as in the reference's `time_used` threading,
     PDLP/main.py:107-136).
+
+    `mesh` (a 2D jax.sharding.Mesh from tpdlp.shard.make_solver_mesh) runs
+    the identical loop with K 2D block-partitioned across devices and the
+    vectors sharded along the matching axes; GSPMD inserts the collectives.
+    The problem is zero-padded to mesh-divisible dimensions (exactness
+    preserved — see tpdlp.shard.mesh.pad_problem_arrays).
     """
     start = time.perf_counter()
     cfg = config
@@ -139,13 +149,48 @@ def solve(
     if dtype is None:
         dtype = default_dtype()
 
-    op, c, q, l, u = to_device_arrays(problem, dtype)
-    pb = _build_device_problem(op, c, q, l, u, problem.m_ineq, cfg)
+    n_orig = problem.n
+    if mesh is None:
+        op, c, q, l, u = to_device_arrays(problem, dtype)
+        pb = _build_device_problem(op, c, q, l, u, problem.m_ineq, cfg)
+    else:
+        from tpdlp.ops.dense import DenseOp
+        from tpdlp.shard.mesh import (
+            pad_problem_arrays,
+            padded_sizes,
+            shard_device_problem,
+            shard_state,
+        )
+
+        K = problem.K.toarray() if hasattr(problem.K, "toarray") else problem.K
+        K = np.asarray(K, dtype)
+        m, n = K.shape
+        m_pad, n_pad = padded_sizes(m, n, mesh)
+        mask0 = np.arange(m) < problem.m_ineq
+        K_p, c_p, q_p, l_p, u_p, mask = pad_problem_arrays(
+            K,
+            np.asarray(problem.c, dtype), np.asarray(problem.q, dtype),
+            np.asarray(problem.l, dtype), np.asarray(problem.u, dtype),
+            mask0, m_pad, n_pad,
+        )
+        if x0 is not None:
+            x0 = np.concatenate([np.asarray(x0), np.zeros(n_pad - n)])
+        if y0 is not None:
+            y0 = np.concatenate([np.asarray(y0), np.zeros(m_pad - m)])
+        pb = _build_device_problem(
+            DenseOp(jnp.asarray(K_p)), jnp.asarray(c_p), jnp.asarray(q_p),
+            jnp.asarray(l_p), jnp.asarray(u_p), problem.m_ineq, cfg,
+            ineq_mask=jnp.asarray(mask),
+        )
+        pb = shard_device_problem(pb, mesh)
+
     eta0, omega0 = _eta_omega_init(pb, cfg, seed)
 
     x0j = None if x0 is None else jnp.asarray(x0, dtype)
     y0j = None if y0 is None else jnp.asarray(y0, dtype)
     st = init_state(pb, eta0, omega0, x0j, y0j)
+    if mesh is not None:
+        st = shard_state(st, mesh)
 
     # ---- chunked device loop with host-side wall-clock enforcement ----
     chunk = cfg.chunk_kkt_init
@@ -178,10 +223,11 @@ def solve(
         st = final_eval(st, pb, cfg)
         status = Status(int(st.status))
 
-    # Unscale the solution (x = d_col x_s, y = d_row y_s; reference :158-161).
-    x_out = np.asarray(pb.d_col * st.x)
-    y_out = np.asarray(pb.d_row * st.y)
-    objective = float(np.dot(np.asarray(pb.c0), x_out))
+    # Unscale the solution (x = d_col x_s, y = d_row y_s; reference :158-161)
+    # and drop mesh padding.
+    x_out = np.asarray(pb.d_col * st.x)[:n_orig]
+    y_out = np.asarray(pb.d_row * st.y)[: problem.m]
+    objective = float(np.dot(np.asarray(pb.c0)[:n_orig], x_out))
 
     return SolveResult(
         x=x_out,
