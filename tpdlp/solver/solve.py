@@ -130,6 +130,7 @@ def solve(
     seed: int = 0,
     time_used: float = 0.0,
     mesh=None,
+    matrix_format: str = "dense",
 ) -> SolveResult:
     """Solve a standard-form LP with restarted PDHG.
 
@@ -142,6 +143,10 @@ def solve(
     vectors sharded along the matching axes; GSPMD inserts the collectives.
     The problem is zero-padded to mesh-divisible dimensions (exactness
     preserved — see tpdlp.shard.mesh.pad_problem_arrays).
+
+    `matrix_format`: "dense" | "sparse" (BCOO with materialised transpose) |
+    "auto" (time both SpMV pairs and keep the faster, the reference's
+    `sparse_vs_dense` autotune, PDLP/util.py:29-74).
     """
     start = time.perf_counter()
     cfg = config
@@ -152,6 +157,25 @@ def solve(
     n_orig = problem.n
     if mesh is None:
         op, c, q, l, u = to_device_arrays(problem, dtype)
+        if matrix_format != "dense":
+            import scipy.sparse as sp
+
+            from tpdlp.ops.autotune import choose_operator
+            from tpdlp.ops.sparse import SparseOp
+
+            if matrix_format == "sparse":
+                K_sp = (
+                    problem.K.tocsr()
+                    if sp.issparse(problem.K)
+                    else sp.csr_matrix(problem.K)
+                )
+                op = SparseOp.from_scipy(K_sp, dtype)
+            elif matrix_format == "auto":
+                op, _ = choose_operator(problem.K, dtype)
+            else:
+                raise ValueError(
+                    f"unknown matrix_format: {matrix_format!r}"
+                )
         pb = _build_device_problem(op, c, q, l, u, problem.m_ineq, cfg)
     else:
         from tpdlp.ops.dense import DenseOp
