@@ -1,0 +1,129 @@
+"""Presolve/postsolve round-trip tests (reference round trip:
+Packages/prepostsolve.py + papilo_wrapper.cpp)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from tpdlp import SolverConfig, Status, generate_feasible_lp, solve
+from tpdlp.presolve import PostsolveData, postsolve, presolve
+from tpdlp.problem import LPProblem
+from tests.oracles import solve_oracle
+
+
+def _lp(c, K, q, m_ineq, l, u, name="t"):
+    return LPProblem(
+        c=np.asarray(c, float), K=sp.csr_matrix(np.asarray(K, float)),
+        q=np.asarray(q, float), m_ineq=m_ineq,
+        l=np.asarray(l, float), u=np.asarray(u, float), name=name,
+    )
+
+
+def test_fixed_variable_cascade_solves_fully():
+    # x0 fixed at 2 -> row becomes x1 >= 1 (singleton) -> x1 empty column
+    # with c1 > 0 -> fixed at 1.  The presolver solves the whole LP.
+    p = _lp([1, 1], [[1, 1]], [3], 1, [2, 0], [2, 10])
+    r = presolve(p)
+    assert r.status == Status.SOLVED
+    x = postsolve(np.zeros(0), r.data)
+    np.testing.assert_allclose(x, [2.0, 1.0], atol=1e-9)
+    assert r.data.obj_offset == pytest.approx(3.0)
+
+
+def test_singleton_rows_become_bounds():
+    # Rows: 2 x0 >= 4  ->  l0 = 2;  x1 = 5 (equality singleton).
+    p = _lp(
+        [1, 1, 1],
+        [[2, 0, 0], [0, 1, 0], [1, 1, 1]],
+        [4, 5, 6],
+        1,  # first row inequality; second+third equality
+        [0, 0, 0], [10, 10, 10],
+    )
+    r = presolve(p)
+    assert r.status == Status.RUNNING
+    # x1 fixed at 5 -> eliminated; singleton rows removed.
+    assert r.rows_removed >= 2
+    assert 1 in r.data.fixed_idx.tolist()
+
+
+def test_empty_row_infeasible():
+    p = _lp([1], [[0.0]], [1.0], 0, [0], [10])  # 0 == 1
+    r = presolve(p)
+    assert r.status == Status.PRIMAL_INFEASIBLE
+
+
+def test_empty_column_unbounded():
+    p = _lp([0, -1], [[1, 0]], [1], 1, [0, 0], [10, np.inf])
+    r = presolve(p)
+    assert r.status == Status.DUAL_INFEASIBLE
+
+
+def test_duplicate_rows_merged():
+    # Rows 0 and 1 proportional (x0 + x1 >= 1, 2x0 + 2x1 >= 4 -> keep >= 2).
+    p = _lp(
+        [1, 1],
+        [[1, 1], [2, 2], [1, -1]],
+        [1, 4, 0],
+        3,
+        [0, 0], [10, 10],
+    )
+    r = presolve(p)
+    assert r.status == Status.RUNNING
+    assert r.rows_removed >= 1
+    o_full = solve_oracle(p)
+    o_red = solve_oracle(r.problem)
+    assert o_full.fun == pytest.approx(o_red.fun + r.data.obj_offset)
+
+
+def test_contradictory_duplicate_equalities():
+    p = _lp([1, 1], [[1, 2], [2, 4]], [1, 3], 0, [0, 0], [10, 10])
+    r = presolve(p)
+    assert r.status == Status.PRIMAL_INFEASIBLE
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_presolve_solve_postsolve_roundtrip(seed):
+    p = generate_feasible_lp(n=40, m_ineq=25, m_eq=8, seed=seed)
+    # Plant reducible structure: fix two vars, add a singleton row and a
+    # duplicate row.
+    p.l[3] = p.u[3] = 1.5
+    p.l[7] = p.u[7] = -0.5
+    K = p.K.toarray()
+    single = np.zeros((1, p.n)); single[0, 11] = 1.0
+    dup = K[0:1] * 2.0
+    p.K = sp.csr_matrix(np.vstack([single, dup, K]))
+    p.q = np.concatenate([[p.l[11] - 1.0], p.q[0:1] * 2.0 - 0.5, p.q])
+    p.m_ineq = p.m_ineq + 2
+
+    o = solve_oracle(p)
+    assert o.status == 0
+
+    r = presolve(p)
+    assert r.status == Status.RUNNING
+    assert r.cols_removed >= 2 and r.rows_removed >= 2
+
+    res = solve(r.problem, SolverConfig(tol=1e-7, max_kkt=80_000,
+                                        scaling="ruiz"))
+    assert res.status == Status.SOLVED
+    x = postsolve(res.x, r.data)
+    assert x.shape == (p.n,)
+    np.testing.assert_allclose(
+        res.objective + r.data.obj_offset, o.fun, rtol=1e-3, atol=1e-3
+    )
+    # Postsolved point is feasible for the original problem.
+    Kx = p.K @ x
+    assert np.all(Kx[: p.m_ineq] >= p.q[: p.m_ineq] - 1e-4)
+    np.testing.assert_allclose(Kx[p.m_ineq:], p.q[p.m_ineq:], atol=1e-4)
+    assert np.all(x >= p.l - 1e-9) and np.all(x <= p.u + 1e-9)
+
+
+def test_postsolve_data_save_load(tmp_path):
+    p = generate_feasible_lp(n=20, m_ineq=10, m_eq=5, seed=5)
+    p.l[2] = p.u[2] = 3.0
+    r = presolve(p)
+    f = tmp_path / "transform"
+    r.data.save(f)
+    loaded = PostsolveData.load(f)
+    assert loaded.n_orig == r.data.n_orig
+    np.testing.assert_array_equal(loaded.col_map, r.data.col_map)
+    np.testing.assert_array_equal(loaded.fixed_idx, r.data.fixed_idx)

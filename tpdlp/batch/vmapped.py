@@ -1,0 +1,193 @@
+"""Scenario-batched LP solves: many instances per chip via vmap.
+
+The reference solves instances sequentially in a Python loop
+(PDLP/main.py:85-162); its only intra-solve batching is the fishnet point
+population.  Here the *entire restarted solver* — steps, restarts, scaling,
+termination — is vmapped over a stacked batch of LPs, so a fleet of
+perturbed instances (the BASELINE "10k perturbed instances" config) runs as
+one device program: each PDHG iteration becomes a batched (B, m, n) x (B, n)
+matmul on the MXU.
+
+Instances of different shapes are zero-padded to the batch maximum with the
+exactness-preserving padding (padded rows are inequality rows with 0 rhs and
+0 coefficients — residual contribution min(0,0) = 0; padded variables are
+fixed at 0), so padded entries never perturb residual norms or objectives.
+Each element keeps its own ineq_mask, scaling diagonals and termination
+norms.  Finished instances hold their state (the loop body is a no-op on
+terminal status), so the batched while_loop runs until every element
+terminates or the shared KKT budget is exhausted.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpdlp.config import SolverConfig, Status
+from tpdlp.ops.dense import DenseOp
+from tpdlp.problem import LPProblem, device_problem
+from tpdlp.scaling.ruiz import scale_problem
+from tpdlp.solver.loop import final_eval, run_chunk_impl
+from tpdlp.solver.power_iteration import spectral_norm_estimate
+from tpdlp.solver.solve import SolveResult, default_dtype
+from tpdlp.solver.state import init_state
+
+
+def _pad_stack(problems: Sequence[LPProblem], dtype):
+    m_max = max(p.m for p in problems)
+    n_max = max(p.n for p in problems)
+    B = len(problems)
+    K = np.zeros((B, m_max, n_max), dtype)
+    c = np.zeros((B, n_max), dtype)
+    q = np.zeros((B, m_max), dtype)
+    l = np.zeros((B, n_max), dtype)  # padded vars fixed at 0
+    u = np.zeros((B, n_max), dtype)
+    mask = np.ones((B, m_max), dtype=bool)  # padded rows: inequality
+    for i, p in enumerate(problems):
+        Kd = p.K.toarray() if hasattr(p.K, "toarray") else np.asarray(p.K)
+        K[i, : p.m, : p.n] = Kd
+        c[i, : p.n] = p.c
+        q[i, : p.m] = p.q
+        l[i, : p.n] = p.l
+        u[i, : p.n] = p.u
+        mask[i, : p.m] = np.arange(p.m) < p.m_ineq
+    return K, c, q, l, u, mask
+
+
+def _build_one(K, c, q, l, u, mask, key, *, cfg: SolverConfig):
+    """Per-element pipeline: scale -> DeviceProblem -> init state."""
+    op = DenseOp(K)
+    op_s, c_s, q_s, l_s, u_s, d_row, d_col = scale_problem(
+        op, c, q, l, u,
+        method=cfg.scaling,
+        ruiz_iters=cfg.ruiz_iters,
+        ruiz_eps=cfg.ruiz_eps,
+        pc_alpha=cfg.pock_chambolle_alpha,
+    )
+    if cfg.scaling == "none":
+        pb = device_problem(
+            op_s, c_s, q_s, l_s, u_s, 0, ineq_mask=mask,
+            compat_scaled_norms=cfg.compat_scaled_norms,
+        )
+    else:
+        pb = device_problem(
+            op_s, c_s, q_s, l_s, u_s, 0,
+            d_row=d_row, d_col=d_col, c0=c, q0=q, l0=l, u0=u,
+            ineq_mask=mask,
+            compat_scaled_norms=cfg.compat_scaled_norms,
+        )
+    eta0 = cfg.eta_safety / spectral_norm_estimate(pb.op, key, cfg.power_iters)
+    c_norm = jnp.linalg.norm(pb.c)
+    q_norm = jnp.linalg.norm(pb.q)
+    omega0 = jnp.where(
+        (q_norm > 1e-6) & (c_norm > 1e-6), c_norm / q_norm,
+        jnp.ones((), pb.c.dtype),
+    )
+    st = init_state(pb, eta0, omega0)
+    return pb, st
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _batch_init(K, c, q, l, u, mask, keys, cfg: SolverConfig):
+    return jax.vmap(
+        lambda *a: _build_one(*a, cfg=cfg)
+    )(K, c, q, l, u, mask, keys)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _batch_chunk(sts, pbs, j_budget, cfg: SolverConfig):
+    return jax.vmap(
+        lambda s, p: run_chunk_impl(s, p, j_budget, cfg)
+    )(sts, pbs)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _batch_final(sts, pbs, cfg: SolverConfig):
+    def one(s, p):
+        return jax.lax.cond(
+            s.status == jnp.int32(Status.RUNNING),
+            lambda s: final_eval(s, p, cfg),
+            lambda s: s,
+            s,
+        )
+
+    return jax.vmap(one)(sts, pbs)
+
+
+def solve_batch(
+    problems: Sequence[LPProblem],
+    config: SolverConfig = SolverConfig(),
+    *,
+    dtype=None,
+    seed: int = 0,
+) -> list[SolveResult]:
+    """Solve a batch of LPs as one vmapped device program."""
+    start = time.perf_counter()
+    cfg = config
+    for p in problems:
+        p.validate()
+    if dtype is None:
+        dtype = default_dtype()
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+
+    K, c, q, l, u, mask = _pad_stack(problems, np_dtype)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(problems))
+    pbs, sts = _batch_init(
+        jnp.asarray(K), jnp.asarray(c), jnp.asarray(q), jnp.asarray(l),
+        jnp.asarray(u), jnp.asarray(mask), keys, cfg,
+    )
+
+    chunk = cfg.chunk_kkt_init
+    timed_out = False
+    while True:
+        statuses = np.asarray(sts.status)
+        js = np.asarray(sts.j)
+        running = statuses == int(Status.RUNNING)
+        if not running.any() or js[running].min() >= cfg.max_kkt:
+            break
+        if time.perf_counter() - start >= cfg.time_limit:
+            timed_out = True
+            break
+        budget = min(cfg.max_kkt, int(js[running].min()) + chunk)
+        sts = _batch_chunk(sts, pbs, jnp.int32(budget), cfg)
+        jax.block_until_ready(sts.status)
+        chunk = min(chunk * 2, cfg.chunk_kkt_max)
+
+    if not timed_out:
+        # Budget-exhausted elements get the reference's final residual
+        # evaluation (may still declare Solved); on timeout they keep
+        # RUNNING and are mapped to TIME_LIMIT below.
+        sts = _batch_final(sts, pbs, cfg)
+    elapsed = time.perf_counter() - start
+
+    # Unpack per-instance results (drop padding).
+    x_all = np.asarray(pbs.d_col * sts.x)
+    y_all = np.asarray(pbs.d_row * sts.y)
+    c0_all = np.asarray(pbs.c0)
+    results = []
+    for i, p in enumerate(problems):
+        status = Status(int(sts.status[i]))
+        if timed_out and status == Status.RUNNING:
+            status = Status.TIME_LIMIT
+        x = x_all[i, : p.n]
+        results.append(
+            SolveResult(
+                x=x,
+                y=y_all[i, : p.m],
+                objective=float(c0_all[i, : p.n] @ x),
+                iterations=int(sts.k[i]),
+                restarts=int(sts.n_restarts[i]),
+                kkt_passes=int(sts.j[i]),
+                status=status,
+                solve_time=elapsed,
+                primal_res=float(sts.primal_res[i]),
+                dual_res=float(sts.dual_res[i]),
+                gap=float(sts.gap[i]),
+            )
+        )
+    return results

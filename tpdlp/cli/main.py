@@ -52,6 +52,9 @@ def parse_args(argv=None):
                    choices=[None, "float32", "float64"])
     p.add_argument("--mesh", type=str, default=None,
                    help="RxC mesh for a sharded solve, e.g. 2x4")
+    p.add_argument("--presolve", type=str, default="off",
+                   choices=["off", "python", "cpp"],
+                   help="PaPILO-equivalent presolve/postsolve round trip")
     p.add_argument("--compat_fr_zero", action="store_true",
                    help="Reproduce the reference's FR-bound quirk "
                         "(lo=0 instead of -inf, PDLP/util.py:162-164)")
@@ -173,7 +176,7 @@ def main(argv=None):
 
             result = solve(
                 problem, cfg, dtype=dtype, x0=x0, y0=y0, seed=args.seed,
-                time_used=time_used, mesh=mesh,
+                time_used=time_used, mesh=mesh, presolve=args.presolve,
             )
             print(f"Solver uses {result.solve_time:.4f} seconds.")
             print(f"Status: {result.status_string}")

@@ -1,0 +1,307 @@
+"""Presolve: PaPILO-equivalent reductions with a serializable postsolve stack.
+
+Reference analog: the PaPILO round trip (Packages/prepostsolve.py:1-103 and
+the pybind11 wrapper Packages/papilo_wrapper.cpp:11-50 — `presolve_mps`
+writes a reduced MPS + transformation data, `postsolve_solution` maps the
+reduced primal solution back).  This module implements the core reductions
+PaPILO applies that matter for LP (SURVEY.md §2.2): empty/singleton rows,
+empty columns, fixed-variable removal, duplicate rows, and singleton-row
+bound tightening, iterated to a fixpoint — plus infeasibility/unboundedness
+detection during reduction.
+
+Postsolve is primal, like the reference's `papilo postsolve -u reduced.sol`
+path: the reduced x maps back through (column map, fixed values).  The
+postsolve data is a plain dataclass of numpy arrays, serializable with
+`save`/`load` (the reference writes a binary transformation file).
+
+A C++ core (tpdlp/presolve/core.cpp, via ctypes) implements the same pass
+pipeline for large instances; `presolve(..., backend="cpp")` uses it with
+this module as the portable fallback and the correctness oracle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+from tpdlp.config import Status
+from tpdlp.problem import LPProblem
+
+
+@dataclasses.dataclass
+class PostsolveData:
+    """Everything needed to map a reduced primal solution back."""
+
+    n_orig: int
+    col_map: np.ndarray  # indices (into original x) of surviving columns
+    fixed_idx: np.ndarray  # original indices of eliminated columns
+    fixed_val: np.ndarray  # their values
+    obj_offset: float  # c_fixed . x_fixed accumulated into the objective
+
+    def save(self, path) -> None:
+        np.savez(
+            path,
+            n_orig=self.n_orig,
+            col_map=self.col_map,
+            fixed_idx=self.fixed_idx,
+            fixed_val=self.fixed_val,
+            obj_offset=self.obj_offset,
+        )
+
+    @classmethod
+    def load(cls, path) -> "PostsolveData":
+        z = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
+        return cls(
+            n_orig=int(z["n_orig"]),
+            col_map=z["col_map"],
+            fixed_idx=z["fixed_idx"],
+            fixed_val=z["fixed_val"],
+            obj_offset=float(z["obj_offset"]),
+        )
+
+
+@dataclasses.dataclass
+class PresolveResult:
+    problem: Optional[LPProblem]  # None when status is terminal
+    data: PostsolveData
+    status: Status  # RUNNING = reduced problem to be solved
+    rows_removed: int
+    cols_removed: int
+    passes: int
+
+
+def postsolve(x_reduced: np.ndarray, data: PostsolveData) -> np.ndarray:
+    """Map the reduced primal solution back to the original variable space
+    (reference: papilo_wrapper.cpp:37-45)."""
+    x = np.zeros(data.n_orig)
+    x[data.col_map] = x_reduced
+    x[data.fixed_idx] = data.fixed_val
+    return x
+
+
+def _feas_tol(q):
+    return 1e-9 * (1.0 + float(np.max(np.abs(q))) if q.size else 1.0)
+
+
+def presolve(
+    problem: LPProblem,
+    *,
+    max_passes: int = 10,
+    backend: str = "python",
+) -> PresolveResult:
+    """Reduce an LP; returns the reduced problem + postsolve data.
+
+    status RUNNING -> solve `result.problem`, then `postsolve`.
+    status PRIMAL_INFEASIBLE / DUAL_INFEASIBLE -> decided during presolve.
+    """
+    if backend == "cpp":
+        from tpdlp.presolve.cpp import presolve_cpp
+
+        return presolve_cpp(problem, max_passes=max_passes)
+    if backend != "python":
+        raise ValueError(f"unknown presolve backend: {backend!r}")
+
+    K = sp.csr_matrix(
+        problem.K.astype(np.float64)
+        if sp.issparse(problem.K)
+        else np.asarray(problem.K, np.float64)
+    )
+    c = np.asarray(problem.c, np.float64).copy()
+    q = np.asarray(problem.q, np.float64).copy()
+    l = np.asarray(problem.l, np.float64).copy()
+    u = np.asarray(problem.u, np.float64).copy()
+    m, n = K.shape
+    is_ineq = np.arange(m) < problem.m_ineq
+
+    # Bookkeeping against ORIGINAL indices.
+    orig_cols = np.arange(n)
+    fixed_idx: list[int] = []
+    fixed_val: list[float] = []
+    obj_offset = 0.0
+    rows_removed = 0
+    cols_removed = 0
+    status = Status.RUNNING
+
+    def fail(s):
+        nonlocal status
+        status = s
+
+    passes = 0
+    changed = True
+    while changed and passes < max_passes and status == Status.RUNNING:
+        changed = False
+        passes += 1
+        K = K.tocsr()
+        K.eliminate_zeros()
+        m, n = K.shape
+
+        row_nnz = np.diff(K.indptr)
+        tol = _feas_tol(q)
+
+        # ---- empty rows ----
+        empty = row_nnz == 0
+        if empty.any():
+            bad_ineq = empty & is_ineq & (q > tol)
+            bad_eq = empty & ~is_ineq & (np.abs(q) > tol)
+            if bad_ineq.any() or bad_eq.any():
+                fail(Status.PRIMAL_INFEASIBLE)
+                break
+            keep = ~empty
+            K = K[keep]
+            q = q[keep]
+            is_ineq = is_ineq[keep]
+            rows_removed += int(empty.sum())
+            changed = True
+            continue
+
+        # ---- singleton rows -> bounds ----
+        singles = np.flatnonzero(row_nnz == 1)
+        if singles.size:
+            drop_rows = np.zeros(m, dtype=bool)
+            for i in singles:
+                a = K.data[K.indptr[i]]
+                j = K.indices[K.indptr[i]]
+                b = q[i]
+                if a == 0.0:
+                    continue
+                v = b / a
+                if is_ineq[i]:
+                    if a > 0:
+                        l[j] = max(l[j], v)
+                    else:
+                        u[j] = min(u[j], v)
+                else:
+                    # equality pins the variable
+                    l[j] = max(l[j], v)
+                    u[j] = min(u[j], v)
+                drop_rows[i] = True
+            if np.any(l > u + 1e-9 * (1 + np.abs(u))):
+                fail(Status.PRIMAL_INFEASIBLE)
+                break
+            keep = ~drop_rows
+            K = K[keep]
+            q = q[keep]
+            is_ineq = is_ineq[keep]
+            rows_removed += int(drop_rows.sum())
+            changed = True
+            continue
+
+        # ---- fixed variables (l == u) and empty columns ----
+        Kc = K.tocsc()
+        col_nnz = np.diff(Kc.indptr)
+        with np.errstate(invalid="ignore"):
+            fixed = np.isfinite(u) & (l >= u - 1e-12 * (1 + np.abs(u)))
+        empty_col = (col_nnz == 0) & ~fixed
+        if empty_col.any():
+            for j in np.flatnonzero(empty_col):
+                if c[j] > 0:
+                    if np.isneginf(l[j]):
+                        fail(Status.DUAL_INFEASIBLE)
+                        break
+                    v = l[j]
+                elif c[j] < 0:
+                    if np.isposinf(u[j]):
+                        fail(Status.DUAL_INFEASIBLE)
+                        break
+                    v = u[j]
+                else:
+                    v = l[j] if np.isfinite(l[j]) else (
+                        u[j] if np.isfinite(u[j]) else 0.0
+                    )
+                l[j] = u[j] = v
+            if status != Status.RUNNING:
+                break
+            with np.errstate(invalid="ignore"):
+                fixed = np.isfinite(u) & (l >= u - 1e-12 * (1 + np.abs(u)))
+
+        if fixed.any():
+            vals = 0.5 * (l[fixed] + u[fixed])
+            # Substitute: q -= K[:, fixed] @ vals ; objective offset.
+            q = q - Kc[:, fixed] @ vals
+            obj_offset += float(c[fixed] @ vals)
+            fixed_idx.extend(orig_cols[fixed].tolist())
+            fixed_val.extend(vals.tolist())
+            keep_cols = ~fixed
+            K = Kc[:, keep_cols].tocsr()
+            c = c[keep_cols]
+            l = l[keep_cols]
+            u = u[keep_cols]
+            orig_cols = orig_cols[keep_cols]
+            cols_removed += int(fixed.sum())
+            changed = True
+            continue
+
+        # ---- duplicate rows (identical pattern, proportional values) ----
+        K = K.tocsr()
+        m = K.shape[0]
+        if m > 1:
+            # Hash rows by (pattern, values normalised by first nonzero).
+            sig: dict = {}
+            drop_rows = np.zeros(m, dtype=bool)
+            for i in range(m):
+                s, e = K.indptr[i], K.indptr[i + 1]
+                idx = K.indices[s:e]
+                val = K.data[s:e]
+                lead = val[0]
+                key = (idx.tobytes(), (val / lead).tobytes())
+                if key in sig:
+                    i0, lead0 = sig[key]
+                    lam = lead / lead0  # row_i = lam * row_i0
+                    if is_ineq[i] and is_ineq[i0] and lam > 0:
+                        q[i0] = max(q[i0], q[i] / lam)
+                        drop_rows[i] = True
+                    elif not is_ineq[i] and not is_ineq[i0]:
+                        if abs(q[i] / lam - q[i0]) > tol:
+                            fail(Status.PRIMAL_INFEASIBLE)
+                            break
+                        drop_rows[i] = True
+                else:
+                    sig[key] = (i, lead)
+            if status != Status.RUNNING:
+                break
+            if drop_rows.any():
+                keep = ~drop_rows
+                K = K[keep]
+                q = q[keep]
+                is_ineq = is_ineq[keep]
+                rows_removed += int(drop_rows.sum())
+                changed = True
+
+    data = PostsolveData(
+        n_orig=problem.n,
+        col_map=orig_cols,
+        fixed_idx=np.asarray(fixed_idx, dtype=np.int64),
+        fixed_val=np.asarray(fixed_val),
+        obj_offset=obj_offset,
+    )
+
+    if status != Status.RUNNING:
+        return PresolveResult(None, data, status, rows_removed, cols_removed,
+                              passes)
+
+    if K.shape[1] == 0 and K.shape[0] == 0:
+        # Fully reduced: the presolver solved the LP; the solution is
+        # entirely in the postsolve data.
+        return PresolveResult(
+            None, data, Status.SOLVED, rows_removed, cols_removed, passes
+        )
+
+    # Re-stack so inequality rows stay a prefix (reductions preserve order
+    # within each block, but removals may interleave — enforce the invariant).
+    K = K.tocsr()
+    order = np.argsort(~is_ineq, kind="stable")
+    K = K[order]
+    q = q[order]
+    m_ineq = int(is_ineq.sum())
+
+    reduced = LPProblem(
+        c=c, K=K, q=q, m_ineq=m_ineq, l=l, u=u,
+        name=problem.name + "+presolved",
+        obj_offset=problem.obj_offset + obj_offset,
+    )
+    return PresolveResult(
+        reduced, data, Status.RUNNING, rows_removed, cols_removed, passes
+    )

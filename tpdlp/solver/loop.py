@@ -136,9 +136,14 @@ def _restart_check(pb, cfg: SolverConfig, st: PDHGState) -> PDHGState:
 
 
 def make_body(pb, cfg: SolverConfig):
-    """One PDHG iteration as a pure state transition."""
+    """One PDHG iteration as a pure state transition.
 
-    def body(st: PDHGState) -> PDHGState:
+    The body is a no-op once the status is terminal: required for batched
+    (vmap) solves, where the lifted while_loop keeps stepping every batch
+    element until all are done — finished instances must hold their state.
+    """
+
+    def live_body(st: PDHGState) -> PDHGState:
         k_new = st.k + 1
 
         if cfg.adaptive:
@@ -204,18 +209,30 @@ def make_body(pb, cfg: SolverConfig):
             fire, lambda s: _restart_check(pb, cfg, s), lambda s: s, st3
         )
 
+    def body(st: PDHGState) -> PDHGState:
+        return jax.lax.cond(
+            st.status == jnp.int32(Status.RUNNING), live_body, lambda s: s, st
+        )
+
     return body
+
+
+def _chunk_cond(j_budget):
+    def cond(s: PDHGState):
+        return (s.status == jnp.int32(Status.RUNNING)) & (s.j < j_budget)
+
+    return cond
+
+
+def run_chunk_impl(st: PDHGState, pb, j_budget, cfg: SolverConfig) -> PDHGState:
+    """Unjitted chunk runner (composable under vmap for batched solves)."""
+    return jax.lax.while_loop(_chunk_cond(j_budget), make_body(pb, cfg), st)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def run_chunk(st: PDHGState, pb, j_budget, cfg: SolverConfig) -> PDHGState:
     """Run iterations until a terminal status or j >= j_budget."""
-    body = make_body(pb, cfg)
-
-    def cond(s: PDHGState):
-        return (s.status == jnp.int32(Status.RUNNING)) & (s.j < j_budget)
-
-    return jax.lax.while_loop(cond, body, st)
+    return run_chunk_impl(st, pb, j_budget, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -131,6 +131,7 @@ def solve(
     time_used: float = 0.0,
     mesh=None,
     matrix_format: str = "dense",
+    presolve: str = "off",
 ) -> SolveResult:
     """Solve a standard-form LP with restarted PDHG.
 
@@ -147,12 +148,65 @@ def solve(
     `matrix_format`: "dense" | "sparse" (BCOO with materialised transpose) |
     "auto" (time both SpMV pairs and keep the faster, the reference's
     `sparse_vs_dense` autotune, PDLP/util.py:29-74).
+
+    `presolve`: "off" | "python" | "cpp" — run the PaPILO-equivalent
+    reduction engine first, solve the reduced LP, and map the solution back
+    through the postsolve transformation (reference round trip:
+    Packages/prepostsolve.py).  Warm starts are not combined with presolve
+    (the reduced variable space differs).
     """
     start = time.perf_counter()
     cfg = config
     problem.validate()
     if dtype is None:
         dtype = default_dtype()
+
+    if presolve != "off":
+        from tpdlp.presolve import presolve as run_presolve
+        from tpdlp.presolve.reductions import postsolve as run_postsolve
+
+        assert x0 is None and y0 is None, "presolve + warm start unsupported"
+        pres = run_presolve(problem, backend=presolve)
+        pre_time = time.perf_counter() - start
+        if pres.status != Status.RUNNING:
+            if pres.status == Status.SOLVED:
+                x_full = run_postsolve(np.zeros(0), pres.data)
+            else:  # infeasible/unbounded: no meaningful point
+                x_full = np.zeros(problem.n)
+            obj = float(np.dot(problem.c, x_full))
+            return SolveResult(
+                x=x_full,
+                y=np.zeros(problem.m),
+                objective=obj,
+                iterations=0,
+                restarts=0,
+                kkt_passes=0,
+                status=pres.status,
+                solve_time=pre_time,
+                primal_res=0.0,
+                dual_res=0.0,
+                gap=0.0,
+            )
+        inner = solve(
+            pres.problem, cfg, dtype=dtype, seed=seed,
+            time_used=time_used + pre_time, mesh=mesh,
+            matrix_format=matrix_format,
+        )
+        x_full = run_postsolve(inner.x, pres.data)
+        y_full = np.zeros(problem.m)  # primal postsolve only (reference parity)
+        return SolveResult(
+            x=x_full,
+            y=y_full,
+            objective=float(np.dot(problem.c, x_full)),
+            iterations=inner.iterations,
+            restarts=inner.restarts,
+            kkt_passes=inner.kkt_passes,
+            status=inner.status,
+            solve_time=inner.solve_time,
+            primal_res=inner.primal_res,
+            dual_res=inner.dual_res,
+            gap=inner.gap,
+        )
 
     n_orig = problem.n
     if mesh is None:
