@@ -1,0 +1,57 @@
+"""Checkpoint/resume and normalized-certificate tests."""
+
+import numpy as np
+
+from tpdlp import SolverConfig, Status, generate_feasible_lp, solve
+from tpdlp.io.generator import generate_infeasible_lp
+
+
+def test_checkpoint_resume_same_answer(tmp_path):
+    p = generate_feasible_lp(n=40, m_ineq=25, m_eq=8, seed=51)
+    cfg = SolverConfig(tol=1e-7, max_kkt=60_000, scaling="ruiz",
+                       chunk_kkt_init=100, chunk_kkt_max=200)
+    ckpt = tmp_path / "state"
+
+    # Run with a tiny budget to force an interrupted solve, checkpointing.
+    cfg_short = cfg.replace(max_kkt=400)
+    r_short = solve(p, cfg_short, checkpoint_path=str(ckpt))
+    assert r_short.status == Status.KKT_LIMIT
+
+    # Resume from the checkpoint with the full budget.
+    r_resumed = solve(p, cfg, checkpoint_path=str(ckpt), resume=True)
+    assert r_resumed.status == Status.SOLVED
+    # Resumed run continues past the checkpointed iteration count.
+    assert r_resumed.iterations > r_short.iterations
+
+    r_fresh = solve(p, cfg)
+    np.testing.assert_allclose(
+        r_resumed.objective, r_fresh.objective, rtol=1e-5
+    )
+
+
+def test_state_save_load_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from tpdlp.problem import device_problem, to_device_arrays
+    from tpdlp.solver.checkpoint import load_state, save_state
+    from tpdlp.solver.state import init_state
+
+    p = generate_feasible_lp(n=20, m_ineq=10, m_eq=4, seed=52)
+    op, c, q, l, u = to_device_arrays(p, jnp.float64)
+    pb = device_problem(op, c, q, l, u, p.m_ineq)
+    st = init_state(pb, jnp.asarray(0.1), jnp.asarray(1.0))
+    f = tmp_path / "st"
+    save_state(st, f)
+    st2 = load_state(f)
+    np.testing.assert_array_equal(np.asarray(st.x), np.asarray(st2.x))
+    assert int(st2.k) == 0 and int(st2.status) == int(Status.RUNNING)
+
+
+def test_normalized_certificates_detect_infeasible():
+    p = generate_infeasible_lp(seed=3)
+    cfg = SolverConfig(
+        tol=1e-6, max_kkt=60_000, normalized_certificates=True,
+    )
+    r = solve(p, cfg)
+    # The y/k family should flag dual unboundedness (primal infeasible).
+    assert r.status == Status.PRIMAL_INFEASIBLE

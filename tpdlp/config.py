@@ -90,6 +90,15 @@ class SolverConfig:
     # Infeasibility certificates (PDLP/enhancements.py:80-161).
     infeasibility_detect: bool = False
     infeas_tol: float = 1e-4
+    #: Normalized-iterate certificate family from
+    #: experiments/InfeasibilityDetection3.py:339-390 (x/k or y/k converging
+    #: to a nonzero point).  Opt-in diagnostic: as specified in the
+    #: reference experiments it can misfire on slowly-converging feasible
+    #: problems (x/k passes through the detection window while x -> x*), so
+    #: it is off by default and not part of the sound certificate path.
+    normalized_certificates: bool = False
+    normalized_tol_conv: float = 1e-4
+    normalized_tol_nonzero: float = 1e-3
 
     # Initialisation (PDLP/primal_dual_hybrid_gradient.py:22-25).
     eta_safety: float = 0.9

@@ -1,0 +1,48 @@
+"""Checkpoint/resume of the solver state.
+
+The reference has no checkpointing (SURVEY.md §5); its solver state is a
+handful of Python locals.  Here the whole while-loop carry (iterates,
+operator products, averages, step sizes, counters, status) is one pytree,
+so save/restore is a flatten + npz round trip — enough to resume a long
+solve after preemption (preemptible TPU pools) provided the problem and
+config are rebuilt identically.
+
+`solve(checkpoint_path=..., resume=True)` wires this in at chunk
+boundaries: the state is saved after every device chunk (the host already
+syncs there for the wall-clock check, so checkpointing adds only the
+device->host copy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpdlp.solver.state import PDHGState
+
+_FIELDS = [f.name for f in dataclasses.fields(PDHGState)]
+
+
+def save_state(state: PDHGState, path) -> None:
+    """Write the solver carry to an .npz file."""
+    arrays = {name: np.asarray(getattr(state, name)) for name in _FIELDS}
+    np.savez(path, **arrays)
+
+
+def load_state(path, dtype=None) -> PDHGState:
+    """Restore a solver carry saved by `save_state`.
+
+    `dtype` optionally recasts the floating-point arrays (e.g. resuming an
+    fp32 TPU solve on an fp64 CPU host).
+    """
+    z = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
+    kwargs = {}
+    for name in _FIELDS:
+        a = z[name]
+        if dtype is not None and a.dtype.kind == "f":
+            a = a.astype(dtype)
+        kwargs[name] = jnp.asarray(a)
+    return PDHGState(**kwargs)

@@ -192,6 +192,24 @@ def make_body(pb, cfg: SolverConfig):
             # Needs two iterates (reference k > 1 guard, :89).
             st2 = jax.lax.cond(k_new > 1, check, lambda s: s, st2)
 
+        if cfg.normalized_certificates:
+            from tpdlp.solver.infeasibility import (
+                normalized_iterate_certificates,
+            )
+
+            cert, x_norm, y_norm = normalized_iterate_certificates(
+                x_new, y_new, st2.x_norm_prev, st2.y_norm_prev, k_new,
+                cfg.normalized_tol_conv, cfg.normalized_tol_nonzero,
+            )
+            status_new = jnp.where(
+                (cert != jnp.int32(Status.RUNNING)) & (k_new > 2),
+                cert,
+                st2.status,
+            )
+            st2 = st2.replace(
+                x_norm_prev=x_norm, y_norm_prev=y_norm, status=status_new
+            )
+
         # Averaging accumulation (:107-112), then the periodic restart check.
         st3 = st2.replace(
             t=st2.t + 1,

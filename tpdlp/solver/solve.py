@@ -46,6 +46,9 @@ class SolveResult:
     primal_res: float
     dual_res: float
     gap: float
+    #: Optional per-chunk progress records (when solve(log_history=True)):
+    #: dicts of k/j/n/restart counters, residuals, gap, eta, omega, time.
+    history: Optional[list] = None
 
     @property
     def status_string(self) -> str:
@@ -132,6 +135,9 @@ def solve(
     mesh=None,
     matrix_format: str = "dense",
     presolve: str = "off",
+    checkpoint_path=None,
+    resume: bool = False,
+    log_history: bool = False,
 ) -> SolveResult:
     """Solve a standard-form LP with restarted PDHG.
 
@@ -266,13 +272,25 @@ def solve(
 
     x0j = None if x0 is None else jnp.asarray(x0, dtype)
     y0j = None if y0 is None else jnp.asarray(y0, dtype)
-    st = init_state(pb, eta0, omega0, x0j, y0j)
+    import os
+
+    if resume and checkpoint_path and os.path.exists(
+        str(checkpoint_path)
+        if str(checkpoint_path).endswith(".npz")
+        else str(checkpoint_path) + ".npz"
+    ):
+        from tpdlp.solver.checkpoint import load_state
+
+        st = load_state(checkpoint_path, dtype=dtype)
+    else:
+        st = init_state(pb, eta0, omega0, x0j, y0j)
     if mesh is not None:
         st = shard_state(st, mesh)
 
     # ---- chunked device loop with host-side wall-clock enforcement ----
     chunk = cfg.chunk_kkt_init
     timed_out = False
+    history = [] if log_history else None
     while True:
         j_done = int(st.j)
         if int(st.status) != Status.RUNNING or j_done >= cfg.max_kkt:
@@ -285,6 +303,23 @@ def solve(
         st = run_chunk(st, pb, jnp.int32(budget), cfg)
         st.status.block_until_ready()
         chunk = min(chunk * 2, cfg.chunk_kkt_max)
+        if checkpoint_path is not None:
+            from tpdlp.solver.checkpoint import save_state
+
+            save_state(st, checkpoint_path)
+        if history is not None:
+            history.append({
+                "k": int(st.k),
+                "j": int(st.j),
+                "restarts": int(st.n_restarts),
+                "prim_obj": float(st.prim_obj),
+                "primal_res": float(st.primal_res),
+                "dual_res": float(st.dual_res),
+                "gap": float(st.gap),
+                "eta": float(st.eta),
+                "omega": float(st.omega),
+                "time": time.perf_counter() - start + time_used,
+            })
         if cfg.verbose:
             print(
                 f"[k={int(st.k)} j={int(st.j)} n={int(st.n_restarts)}] "
@@ -319,4 +354,5 @@ def solve(
         primal_res=float(st.primal_res),
         dual_res=float(st.dual_res),
         gap=float(st.gap),
+        history=history,
     )

@@ -36,6 +36,10 @@ class PDHGState:
     kty_prev: jax.Array
     # Previous projected reduced cost for infeasibility (enhancements.py:101).
     lam_prev: jax.Array  # (n,)
+    # Previous normalized iterates x/k, y/k for the normalized-iterate
+    # certificate family (experiments/InfeasibilityDetection3.py:339-364).
+    x_norm_prev: jax.Array  # (n,)
+    y_norm_prev: jax.Array  # (m,)
     # eta-weighted running averages (primal_dual_hybrid_gradient.py:107-109).
     x_sum: jax.Array
     y_sum: jax.Array
@@ -84,6 +88,8 @@ def init_state(pb, eta0, omega0, x0=None, y0=None) -> PDHGState:
         kx_prev=kx,
         kty_prev=kty,
         lam_prev=jnp.zeros((n,), dtype),
+        x_norm_prev=jnp.zeros((n,), dtype),
+        y_norm_prev=jnp.zeros((m,), dtype),
         x_sum=jnp.zeros((n,), dtype),
         y_sum=jnp.zeros((m,), dtype),
         eta_sum=zero,
