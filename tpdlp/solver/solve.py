@@ -97,6 +97,59 @@ def _build_device_problem(op, c, q, l, u, m_ineq, cfg: SolverConfig,
     )
 
 
+def _prepare_impl(op, c, q, l, u, ineq_mask, key, x0, y0, cfg: SolverConfig):
+    """Whole preprocessing pipeline as one traceable function: scaling,
+    mask/problem assembly, power-iteration stepsize, primal weight, state
+    init.  One device dispatch instead of dozens of eager ops (which cost
+    a host round trip each on remote-tunnel TPU backends)."""
+    op_s, c_s, q_s, l_s, u_s, d_row, d_col = scale_problem(
+        op, c, q, l, u,
+        method=cfg.scaling,
+        ruiz_iters=cfg.ruiz_iters,
+        ruiz_eps=cfg.ruiz_eps,
+        pc_alpha=cfg.pock_chambolle_alpha,
+    )
+    if cfg.scaling == "none":
+        pb = device_problem(
+            op_s, c_s, q_s, l_s, u_s, 0, ineq_mask=ineq_mask,
+            compat_scaled_norms=cfg.compat_scaled_norms,
+        )
+    else:
+        pb = device_problem(
+            op_s, c_s, q_s, l_s, u_s, 0,
+            d_row=d_row, d_col=d_col, c0=c, q0=q, l0=l, u0=u,
+            ineq_mask=ineq_mask,
+            compat_scaled_norms=cfg.compat_scaled_norms,
+        )
+    eta0 = cfg.eta_safety / spectral_norm_estimate(pb.op, key, cfg.power_iters)
+    c_norm = jnp.linalg.norm(pb.c)
+    q_norm = jnp.linalg.norm(pb.q)
+    omega0 = jnp.where(
+        (q_norm > 1e-6) & (c_norm > 1e-6), c_norm / q_norm,
+        jnp.ones((), pb.c.dtype),
+    )
+    st = init_state(pb, eta0, omega0, x0, y0)
+    return pb, st
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _prepare(op, c, q, l, u, ineq_mask, key, cfg: SolverConfig):
+    return _prepare_impl(op, c, q, l, u, ineq_mask, key, None, None, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _prepare_warm(op, c, q, l, u, ineq_mask, key, x0, y0, cfg: SolverConfig):
+    return _prepare_impl(op, c, q, l, u, ineq_mask, key, x0, y0, cfg)
+
+
+@jax.jit
+def _extract(pb, st):
+    """Unscaled solution + objective in one dispatch (reference :158-161)."""
+    x = pb.d_col * st.x
+    y = pb.d_row * st.y
+    return x, y, jnp.dot(pb.c0, x)
+
+
 def _eta_omega_init(pb, cfg: SolverConfig, seed: int):
     """eta = 0.9/||K||_2 (100 power iters), omega = ||c||/||q|| guarded
     (primal_dual_hybrid_gradient.py:19-23)."""
@@ -215,6 +268,7 @@ def solve(
         )
 
     n_orig = problem.n
+    mask = np.arange(problem.m) < problem.m_ineq
     if mesh is None:
         op, c, q, l, u = to_device_arrays(problem, dtype)
         if matrix_format != "dense":
@@ -236,7 +290,6 @@ def solve(
                 raise ValueError(
                     f"unknown matrix_format: {matrix_format!r}"
                 )
-        pb = _build_device_problem(op, c, q, l, u, problem.m_ineq, cfg)
     else:
         from tpdlp.ops.dense import DenseOp
         from tpdlp.shard.mesh import (
@@ -250,28 +303,33 @@ def solve(
         K = np.asarray(K, dtype)
         m, n = K.shape
         m_pad, n_pad = padded_sizes(m, n, mesh)
-        mask0 = np.arange(m) < problem.m_ineq
         K_p, c_p, q_p, l_p, u_p, mask = pad_problem_arrays(
             K,
             np.asarray(problem.c, dtype), np.asarray(problem.q, dtype),
             np.asarray(problem.l, dtype), np.asarray(problem.u, dtype),
-            mask0, m_pad, n_pad,
+            mask, m_pad, n_pad,
         )
         if x0 is not None:
             x0 = np.concatenate([np.asarray(x0), np.zeros(n_pad - n)])
         if y0 is not None:
             y0 = np.concatenate([np.asarray(y0), np.zeros(m_pad - m)])
-        pb = _build_device_problem(
-            DenseOp(jnp.asarray(K_p)), jnp.asarray(c_p), jnp.asarray(q_p),
-            jnp.asarray(l_p), jnp.asarray(u_p), problem.m_ineq, cfg,
-            ineq_mask=jnp.asarray(mask),
+        op = DenseOp(jnp.asarray(K_p))
+        c, q = jnp.asarray(c_p), jnp.asarray(q_p)
+        l, u = jnp.asarray(l_p), jnp.asarray(u_p)
+
+    key = jax.random.PRNGKey(seed)
+    mask_j = jnp.asarray(mask)
+    if x0 is None and y0 is None:
+        pb, st = _prepare(op, c, q, l, u, mask_j, key, cfg)
+    else:
+        x0j = jnp.asarray(
+            x0 if x0 is not None else np.zeros(op.shape[1]), dtype
         )
-        pb = shard_device_problem(pb, mesh)
+        y0j = jnp.asarray(
+            y0 if y0 is not None else np.zeros(op.shape[0]), dtype
+        )
+        pb, st = _prepare_warm(op, c, q, l, u, mask_j, key, x0j, y0j, cfg)
 
-    eta0, omega0 = _eta_omega_init(pb, cfg, seed)
-
-    x0j = None if x0 is None else jnp.asarray(x0, dtype)
-    y0j = None if y0 is None else jnp.asarray(y0, dtype)
     import os
 
     if resume and checkpoint_path and os.path.exists(
@@ -282,9 +340,8 @@ def solve(
         from tpdlp.solver.checkpoint import load_state
 
         st = load_state(checkpoint_path, dtype=dtype)
-    else:
-        st = init_state(pb, eta0, omega0, x0j, y0j)
     if mesh is not None:
+        pb = shard_device_problem(pb, mesh)
         st = shard_state(st, mesh)
 
     # ---- chunked device loop with host-side wall-clock enforcement ----
@@ -338,9 +395,12 @@ def solve(
 
     # Unscale the solution (x = d_col x_s, y = d_row y_s; reference :158-161)
     # and drop mesh padding.
-    x_out = np.asarray(pb.d_col * st.x)[:n_orig]
-    y_out = np.asarray(pb.d_row * st.y)[: problem.m]
-    objective = float(np.dot(np.asarray(pb.c0)[:n_orig], x_out))
+    x_full, y_full, obj = _extract(pb, st)
+    x_out = np.asarray(x_full)[:n_orig]
+    y_out = np.asarray(y_full)[: problem.m]
+    # Padded entries have c0 = 0 and x = 0, so the padded dot equals the
+    # original objective exactly.
+    objective = float(obj)
 
     return SolveResult(
         x=x_out,
