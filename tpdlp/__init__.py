@@ -32,7 +32,12 @@ from tpdlp.config import SolverConfig, Status
 from tpdlp.problem import LPProblem
 from tpdlp.solver.solve import solve, SolveResult
 from tpdlp.io.mps import read_mps, mps_to_standard_form
-from tpdlp.io.generator import generate_feasible_lp, generate_infeasible_lp
+from tpdlp.io.generator import (
+    generate_feasible_lp,
+    generate_infeasible_lp,
+    generate_unbounded_lp,
+)
+from tpdlp.io.writer import write_mps
 from tpdlp.timer import Timer
 
 __version__ = "0.1.0"
@@ -45,7 +50,9 @@ __all__ = [
     "SolveResult",
     "read_mps",
     "mps_to_standard_form",
+    "write_mps",
     "generate_feasible_lp",
     "generate_infeasible_lp",
+    "generate_unbounded_lp",
     "Timer",
 ]

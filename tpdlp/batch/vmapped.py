@@ -145,8 +145,9 @@ def solve_batch(
     chunk = cfg.chunk_kkt_init
     timed_out = False
     while True:
-        statuses = np.asarray(sts.status)
-        js = np.asarray(sts.j)
+        # One batched transfer per chunk (scalar fetches cost a host round
+        # trip each on remote-tunnel TPU backends).
+        statuses, js = jax.device_get((sts.status, sts.j))
         running = statuses == int(Status.RUNNING)
         if not running.any() or js[running].min() >= cfg.max_kkt:
             break
@@ -155,7 +156,6 @@ def solve_batch(
             break
         budget = min(cfg.max_kkt, int(js[running].min()) + chunk)
         sts = _batch_chunk(sts, pbs, jnp.int32(budget), cfg)
-        jax.block_until_ready(sts.status)
         chunk = min(chunk * 2, cfg.chunk_kkt_max)
 
     if not timed_out:
@@ -165,13 +165,19 @@ def solve_batch(
         sts = _batch_final(sts, pbs, cfg)
     elapsed = time.perf_counter() - start
 
-    # Unpack per-instance results (drop padding).
-    x_all = np.asarray(pbs.d_col * sts.x)
-    y_all = np.asarray(pbs.d_row * sts.y)
-    c0_all = np.asarray(pbs.c0)
+    # Unpack per-instance results (drop padding).  All device->host reads in
+    # ONE batched transfer (per-element scalar fetches would cost B x 6
+    # round trips on a remote-tunnel backend).
+    (x_all, y_all, c0_all, status_a, k_a, n_a, j_a, rp_a, rd_a, gap_a) = (
+        jax.device_get((
+            pbs.d_col * sts.x, pbs.d_row * sts.y, pbs.c0,
+            sts.status, sts.k, sts.n_restarts, sts.j,
+            sts.primal_res, sts.dual_res, sts.gap,
+        ))
+    )
     results = []
     for i, p in enumerate(problems):
-        status = Status(int(sts.status[i]))
+        status = Status(int(status_a[i]))
         if timed_out and status == Status.RUNNING:
             status = Status.TIME_LIMIT
         x = x_all[i, : p.n]
@@ -180,14 +186,14 @@ def solve_batch(
                 x=x,
                 y=y_all[i, : p.m],
                 objective=float(c0_all[i, : p.n] @ x),
-                iterations=int(sts.k[i]),
-                restarts=int(sts.n_restarts[i]),
-                kkt_passes=int(sts.j[i]),
+                iterations=int(k_a[i]),
+                restarts=int(n_a[i]),
+                kkt_passes=int(j_a[i]),
                 status=status,
                 solve_time=elapsed,
-                primal_res=float(sts.primal_res[i]),
-                dual_res=float(sts.dual_res[i]),
-                gap=float(sts.gap[i]),
+                primal_res=float(rp_a[i]),
+                dual_res=float(rd_a[i]),
+                gap=float(gap_a[i]),
             )
         )
     return results

@@ -121,6 +121,14 @@ class SolverConfig:
     # the host checks wall-clock time and terminal status.
     chunk_kkt_init: int = 250
     chunk_kkt_max: int = 8000
+    #: Dispatch the next chunk before the previous chunk's status probe is
+    #: fetched (exact: the loop body no-ops on terminal states).  Hides the
+    #: per-probe host round trip on remote TPU backends.
+    host_speculation: bool = True
+    #: When m + n is at most this, the per-chunk probe fetches the full
+    #: result bundle (solution, objective, counters) — transfers that small
+    #: are latency-dominated, so termination costs no extra round trip.
+    eager_fetch_max: int = 32768
 
     verbose: bool = False
 

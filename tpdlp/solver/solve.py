@@ -150,6 +150,16 @@ def _extract(pb, st):
     return x, y, jnp.dot(pb.c0, x)
 
 
+def _result_bundle(pb, st):
+    """Everything the host needs from a finished solve, as one pytree (so it
+    moves device->host in a single batched transfer)."""
+    x, y, obj = _extract(pb, st)
+    return (
+        st.j, st.status, x, y, obj, st.k, st.n_restarts,
+        st.primal_res, st.dual_res, st.gap,
+    )
+
+
 def _eta_omega_init(pb, cfg: SolverConfig, seed: int):
     """eta = 0.9/||K||_2 (100 power iters), omega = ||c||/||q|| guarded
     (primal_dual_hybrid_gradient.py:19-23)."""
@@ -332,6 +342,7 @@ def solve(
 
     import os
 
+    resumed = False
     if resume and checkpoint_path and os.path.exists(
         str(checkpoint_path)
         if str(checkpoint_path).endswith(".npz")
@@ -340,79 +351,142 @@ def solve(
         from tpdlp.solver.checkpoint import load_state
 
         st = load_state(checkpoint_path, dtype=dtype)
+        resumed = True
     if mesh is not None:
         pb = shard_device_problem(pb, mesh)
         st = shard_state(st, mesh)
 
     # ---- chunked device loop with host-side wall-clock enforcement ----
+    # Latency model (remote-tunnel TPU): every host-blocking fetch costs a
+    # fixed ~30 ms round trip regardless of payload size, while dispatch is
+    # asynchronous and ~0.2 ms.  Three measures keep a small solve at ~2
+    # round trips total:
+    #   1. a freshly initialised state is (j=0, RUNNING) by construction,
+    #      so no initial probe is fetched (resume is the exception);
+    #   2. the next chunk is dispatched *before* the previous chunk's probe
+    #      is fetched — speculation is exact, because the loop body no-ops
+    #      on terminal status, so a speculated chunk on a finished state
+    #      returns it unchanged;
+    #   3. for small problems the probe IS the full result bundle
+    #      (solution, objective, counters): the transfer is
+    #      latency-dominated either way, and termination then costs no
+    #      extra fetch.
     chunk = cfg.chunk_kkt_init
     timed_out = False
     history = [] if log_history else None
-    while True:
-        j_done = int(st.j)
-        if int(st.status) != Status.RUNNING or j_done >= cfg.max_kkt:
-            break
-        elapsed = time.perf_counter() - start + time_used
-        if elapsed >= cfg.time_limit:
+    slow_path = checkpoint_path is not None or history is not None or cfg.verbose
+    eager = (
+        not slow_path
+        and op.shape[0] + op.shape[1] <= cfg.eager_fetch_max
+    )
+    depth = 2 if (cfg.host_speculation and not slow_path) else 1
+
+    if resumed:
+        j_done, status_now = (
+            int(v) for v in jax.device_get((st.j, st.status))
+        )
+    else:
+        j_done, status_now = 0, int(Status.RUNNING)
+    planned = j_done
+    bundle = None  # result bundle of the last probed state, when eager
+    pending = []  # dispatched-but-unprobed chunk states, oldest first
+
+    while status_now == int(Status.RUNNING) and j_done < cfg.max_kkt:
+        if time.perf_counter() - start + time_used >= cfg.time_limit:
             timed_out = True
             break
-        budget = min(cfg.max_kkt, j_done + chunk)
-        st = run_chunk(st, pb, jnp.int32(budget), cfg)
-        st.status.block_until_ready()
-        chunk = min(chunk * 2, cfg.chunk_kkt_max)
-        if checkpoint_path is not None:
-            from tpdlp.solver.checkpoint import save_state
+        while len(pending) < depth and planned < cfg.max_kkt:
+            planned = min(cfg.max_kkt, planned + chunk)
+            chunk = min(chunk * 2, cfg.chunk_kkt_max)
+            st = run_chunk(st, pb, jnp.int32(planned), cfg)
+            pending.append(st)
+        if not pending:
+            break
+        st_probed = pending.pop(0)
+        if eager:
+            bundle = jax.device_get(_result_bundle(pb, st_probed))
+            j_done, status_now = int(bundle[0]), int(bundle[1])
+        elif slow_path:
+            if checkpoint_path is not None:
+                from tpdlp.solver.checkpoint import save_state
 
-            save_state(st, checkpoint_path)
-        if history is not None:
-            history.append({
-                "k": int(st.k),
-                "j": int(st.j),
-                "restarts": int(st.n_restarts),
-                "prim_obj": float(st.prim_obj),
-                "primal_res": float(st.primal_res),
-                "dual_res": float(st.dual_res),
-                "gap": float(st.gap),
-                "eta": float(st.eta),
-                "omega": float(st.omega),
+                save_state(st_probed, checkpoint_path)
+            probe = jax.device_get((
+                st_probed.j, st_probed.status, st_probed.k,
+                st_probed.n_restarts, st_probed.prim_obj,
+                st_probed.primal_res, st_probed.dual_res, st_probed.gap,
+                st_probed.eta, st_probed.omega,
+            ))
+            j_done, status_now = int(probe[0]), int(probe[1])
+            rec = {
+                "k": int(probe[2]),
+                "j": j_done,
+                "restarts": int(probe[3]),
+                "prim_obj": float(probe[4]),
+                "primal_res": float(probe[5]),
+                "dual_res": float(probe[6]),
+                "gap": float(probe[7]),
+                "eta": float(probe[8]),
+                "omega": float(probe[9]),
                 "time": time.perf_counter() - start + time_used,
-            })
-        if cfg.verbose:
-            print(
-                f"[k={int(st.k)} j={int(st.j)} n={int(st.n_restarts)}] "
-                f"obj={float(st.prim_obj):.6e} rp={float(st.primal_res):.2e} "
-                f"rd={float(st.dual_res):.2e} gap={float(st.gap):.2e}"
+            }
+            if history is not None:
+                history.append(rec)
+            if cfg.verbose:
+                print(
+                    f"[k={rec['k']} j={rec['j']} n={rec['restarts']}] "
+                    f"obj={rec['prim_obj']:.6e} rp={rec['primal_res']:.2e} "
+                    f"rd={rec['dual_res']:.2e} gap={rec['gap']:.2e}"
+                )
+        else:
+            j_done, status_now = (
+                int(v) for v in jax.device_get((st_probed.j, st_probed.status))
             )
+        if status_now != int(Status.RUNNING):
+            # Speculated successors of a terminal state are identical to it;
+            # report the probed state.
+            st = st_probed
+            pending.clear()
 
-    status = Status(int(st.status))
+    status = Status(status_now)
+    fetch_final = bundle is None or pending
     if timed_out and status == Status.RUNNING:
         status = Status.TIME_LIMIT
+        # On timeout `st` is the newest dispatched state (its work is
+        # already done on device), which may be ahead of the last probe.
+        fetch_final = True
     elif status == Status.RUNNING:
         # KKT budget exhausted: the reference still runs one last residual
         # evaluation that may declare Solved (:148-177).
         st = final_eval(st, pb, cfg)
-        status = Status(int(st.status))
+        fetch_final = True
 
     # Unscale the solution (x = d_col x_s, y = d_row y_s; reference :158-161)
-    # and drop mesh padding.
-    x_full, y_full, obj = _extract(pb, st)
-    x_out = np.asarray(x_full)[:n_orig]
-    y_out = np.asarray(y_full)[: problem.m]
+    # and drop mesh padding.  One batched transfer for the whole result
+    # (or zero, when the eager probe already carried it).
+    if fetch_final:
+        bundle = jax.device_get(_result_bundle(pb, st))
+    (_, st_v, x_np, y_np, obj_v, k_v, n_v, rp_v, rd_v, gap_v) = bundle
+    j_v = bundle[0]
+    if status != Status.TIME_LIMIT:
+        status = Status(int(st_v))
+    x_out = np.asarray(x_np)[:n_orig]
+    y_out = np.asarray(y_np)[: problem.m]
     # Padded entries have c0 = 0 and x = 0, so the padded dot equals the
     # original objective exactly.
-    objective = float(obj)
+    objective = float(obj_v)
 
     return SolveResult(
         x=x_out,
         y=y_out,
         objective=objective,
-        iterations=int(st.k),
-        restarts=int(st.n_restarts),
-        kkt_passes=int(st.j),
+        iterations=int(k_v),
+        restarts=int(n_v),
+        kkt_passes=int(j_v),
         status=status,
         solve_time=time.perf_counter() - start + time_used,
-        primal_res=float(st.primal_res),
-        dual_res=float(st.dual_res),
-        gap=float(st.gap),
+        primal_res=float(rp_v),
+        dual_res=float(rd_v),
+        gap=float(gap_v),
         history=history,
     )
