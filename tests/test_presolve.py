@@ -127,3 +127,33 @@ def test_postsolve_data_save_load(tmp_path):
     assert loaded.n_orig == r.data.n_orig
     np.testing.assert_array_equal(loaded.col_map, r.data.col_map)
     np.testing.assert_array_equal(loaded.fixed_idx, r.data.fixed_idx)
+
+
+def test_file_level_round_trip(tmp_path):
+    """presolve_mps / postsolve_solution — the reference wrapper's surface
+    (papilo_wrapper.cpp:11-50), driven through MPS + transformation files."""
+    from tpdlp import read_mps, write_mps
+    from tpdlp.presolve import presolve_mps, postsolve_solution
+
+    p = generate_feasible_lp(n=20, m_ineq=12, m_eq=4, seed=11)
+    # Plant reducible structure: fix one variable via equal bounds.
+    p.l[3] = p.u[3] = 1.5
+    orig = tmp_path / "orig.mps"
+    red = tmp_path / "reduced.mps"
+    tf = tmp_path / "transform.npz"
+    write_mps(p, str(orig))
+
+    stats = presolve_mps(str(orig), str(red), str(tf))
+    assert stats["cols_removed"] >= 1
+    assert stats["status"] == "Reduced"
+
+    reduced = read_mps(str(red))
+    r = solve(reduced, SolverConfig(tol=1e-8, scaling="ruiz", adaptive=True))
+    assert r.status == Status.SOLVED
+    x_full = postsolve_solution(r.x, str(tf))
+
+    p_orig = read_mps(str(orig))
+    oracle = solve_oracle(p_orig)
+    obj = float(np.dot(p_orig.c, x_full))
+    assert obj == pytest.approx(oracle.fun, abs=1e-5)
+    assert x_full[3] == pytest.approx(1.5)
