@@ -92,3 +92,31 @@ def test_reporting_fields_consistent():
         "KKT Passes (j)", "Time (s)", "Status",
     }
     assert result.iterations > 0 and result.kkt_passes >= result.iterations
+
+
+def test_precision_escalation_two_stage():
+    """fp32 stage to escalation_tol, fp64 warm-started tail to tol; counters
+    span both stages (the accelerator default for tol < 1e-6)."""
+    import jax.numpy as jnp
+
+    from tests.oracles import solve_oracle
+    from tpdlp.solver.solve import _solve_escalated
+
+    problem = generate_feasible_lp(n=40, m_ineq=25, m_eq=8, seed=7)
+    cfg = SolverConfig(
+        tol=1e-8, scaling="ruiz", adaptive=True, primal_weight_update=True
+    )
+    r = _solve_escalated(
+        problem, cfg, seed=0, time_used=0.0, mesh=None,
+        matrix_format="dense", checkpoint_path=None, log_history=False,
+    )
+    assert r.status == Status.SOLVED
+    oracle = solve_oracle(problem)
+    assert r.objective == pytest.approx(oracle.fun, abs=1e-6)
+    # The fp32 stage alone cannot reach 1e-8; kkt_passes must include both
+    # stages (strictly more than a pure fp64 warm tail would report).
+    s1 = solve(
+        problem, cfg.replace(tol=cfg.escalation_tol), dtype=jnp.float32
+    )
+    assert r.kkt_passes > s1.kkt_passes
+    assert r.x.dtype == np.float64

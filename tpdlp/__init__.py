@@ -21,12 +21,34 @@ adaptive stepsizes, restart metrics and infeasibility certificates reuse
 them instead of issuing extra SpMVs.
 """
 
+import os as _os
+
 import jax as _jax
 
 # LP solving at 1e-8 relative KKT tolerance requires float64 accumulation to
 # be *available* (array dtypes remain configurable; TPU iterates in fp32 by
 # default).  Enable once at import, before any tracing happens.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: on remote-tunnel TPU backends a cold compile
+# of the solver pipeline costs tens of seconds; the disk cache brings repeat
+# startups to ~4 s.  Respect an explicit user setting (flag or env var).
+if (
+    _jax.config.jax_compilation_cache_dir is None
+    and "JAX_COMPILATION_CACHE_DIR" not in _os.environ
+):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.join(
+            _os.environ.get(
+                "XDG_CACHE_HOME",
+                _os.path.join(_os.path.expanduser("~"), ".cache"),
+            ),
+            "tpdlp",
+            "jax",
+        ),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from tpdlp.config import SolverConfig, Status
 from tpdlp.problem import LPProblem

@@ -100,6 +100,15 @@ class SolverConfig:
     normalized_tol_conv: float = 1e-4
     normalized_tol_nonzero: float = 1e-3
 
+    #: Two-stage precision escalation on accelerators when `solve` picks the
+    #: dtype (dtype=None): iterate in fp32 down to `escalation_tol`, then
+    #: warm-start an fp64 tail to the target tolerance.  fp32 stalls at its
+    #: precision floor (~1e-7 relative KKT) while pure fp64 on TPU is
+    #: XLA-emulated and ~50x slower per pass; the two-stage split reaches
+    #: 1e-8 ~5x faster than pure fp64 (BASELINE.md).
+    precision_escalation: bool = True
+    escalation_tol: float = 1e-6
+
     # Initialisation (PDLP/primal_dual_hybrid_gradient.py:22-25).
     eta_safety: float = 0.9
     power_iters: int = 100

@@ -186,6 +186,43 @@ def default_dtype():
     return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
 
 
+def _solve_escalated(problem, cfg: SolverConfig, **kw):
+    """Two-stage precision escalation (accelerator path for tol < 1e-6).
+
+    Stage 1 iterates in fp32 to `cfg.escalation_tol`; stage 2 warm-starts
+    fp64 from the fp32 solution and finishes to `cfg.tol`.  fp32 cannot
+    converge below its iterate-precision floor (~1e-7 relative KKT) and
+    emulated fp64 is ~50x slower per KKT pass on TPU, so the split is ~5x
+    faster end-to-end than pure fp64 at identical solution quality
+    (BASELINE.md).  Work/time budgets span both stages; counters are summed.
+    """
+    coarse = cfg.replace(tol=max(cfg.escalation_tol, cfg.tol))
+    s1 = solve(problem, coarse, dtype=jnp.float32, **kw)
+    if s1.status != Status.SOLVED:
+        # Infeasibility certificates, budget exhaustion and timeouts are
+        # terminal as-is; there is nothing useful to refine in fp64.
+        return s1
+    kkt_left = cfg.max_kkt - s1.kkt_passes
+    if kkt_left <= 0:
+        return s1
+    kw2 = dict(kw)
+    kw2["time_used"] = s1.solve_time  # already includes incoming time_used
+    s2 = solve(
+        problem, cfg.replace(max_kkt=kkt_left), dtype=jnp.float64,
+        x0=s1.x, y0=s1.y, **kw2,
+    )
+    history = None
+    if s1.history is not None or s2.history is not None:
+        history = (s1.history or []) + (s2.history or [])
+    return dataclasses.replace(
+        s2,
+        iterations=s1.iterations + s2.iterations,
+        restarts=s1.restarts + s2.restarts,
+        kkt_passes=s1.kkt_passes + s2.kkt_passes,
+        history=history,
+    )
+
+
 def solve(
     problem: LPProblem,
     config: SolverConfig = SolverConfig(),
@@ -227,8 +264,6 @@ def solve(
     start = time.perf_counter()
     cfg = config
     problem.validate()
-    if dtype is None:
-        dtype = default_dtype()
 
     if presolve != "off":
         from tpdlp.presolve import presolve as run_presolve
@@ -276,6 +311,22 @@ def solve(
             dual_res=inner.dual_res,
             gap=inner.gap,
         )
+
+    if dtype is None:
+        dtype = default_dtype()
+        if (
+            cfg.precision_escalation
+            and dtype == jnp.float32
+            and cfg.tol < cfg.escalation_tol
+            and x0 is None
+            and y0 is None
+            and not resume
+        ):
+            return _solve_escalated(
+                problem, cfg, seed=seed, time_used=time_used, mesh=mesh,
+                matrix_format=matrix_format, checkpoint_path=checkpoint_path,
+                log_history=log_history,
+            )
 
     n_orig = problem.n
     mask = np.arange(problem.m) < problem.m_ineq
