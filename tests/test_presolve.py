@@ -157,3 +157,88 @@ def test_file_level_round_trip(tmp_path):
     obj = float(np.dot(p_orig.c, x_full))
     assert obj == pytest.approx(oracle.fun, abs=1e-5)
     assert x_full[3] == pytest.approx(1.5)
+
+
+def test_dominated_column_duality_fixing():
+    """A column with only nonpositive inequality entries and c >= 0 is
+    forced to its lower bound (PaPILO DualFix); the cascade solves fully."""
+    p = _lp([1, 1], [[-1, 1]], [0], 1, [0, 1], [np.inf, 5])
+    r = presolve(p)
+    assert r.status == Status.SOLVED
+    x = postsolve(np.zeros(0), r.data)
+    np.testing.assert_allclose(x, [0.0, 1.0], atol=1e-12)
+
+
+def test_dominated_column_dual_infeasible():
+    """c < 0 with all-nonnegative inequality entries and u = +inf certifies
+    dual infeasibility (x -> +inf is improving and feasible)."""
+    p = _lp([-1, 1], [[1, 1]], [0], 1, [0, 0], [np.inf, 1])
+    r = presolve(p)
+    assert r.status == Status.DUAL_INFEASIBLE
+
+
+def test_dominated_column_no_false_positive_with_equality():
+    """Equality-row membership blocks duality fixing (dual sign is free)."""
+    p = _lp([1, 1], [[-1, 0], [1, 1]], [0, 2], 1, [0, 0], [10, 10])
+    # col0 is in an equality row (row 1): must NOT be fixed by domination.
+    r = presolve(p)
+    if r.status == Status.RUNNING:
+        from tpdlp import SolverConfig, solve
+        s = solve(r.problem, SolverConfig(tol=1e-8))
+        x = postsolve(s.x, r.data)
+    else:
+        assert r.status == Status.SOLVED
+        x = postsolve(np.zeros(0), r.data)
+    oracle = solve_oracle(p)
+    np.testing.assert_allclose(
+        float(p.c @ x), oracle.fun, atol=1e-6
+    )
+
+
+def test_free_singleton_column_substitution():
+    """A free variable with one nonzero in an equality row is substituted
+    out; postsolve recovers it from the row (PaPILO column singletons)."""
+    from tpdlp import SolverConfig, solve
+
+    # min x0 + 3 x1 + x2   s.t.  x0 + x1 >= 2 ;  x1 + 2 x2 = 4 ;
+    # x2 free (l=-inf, u=+inf), appears only in the equality row.
+    p = _lp(
+        [1, 3, 1],
+        [[1, 1, 0], [0, 1, 2]],
+        [2, 4],
+        1,
+        [0, 0, -np.inf],
+        [10, 10, np.inf],
+    )
+    r = presolve(p)
+    assert len(r.data.subst_idx) == 1 and r.data.subst_idx[0] == 2
+    oracle = solve_oracle(p)
+    if r.status == Status.RUNNING:
+        assert r.problem.n == 2  # x2 eliminated
+        s = solve(r.problem, SolverConfig(tol=1e-9))
+        x = postsolve(s.x, r.data)
+    else:
+        assert r.status == Status.SOLVED
+        x = postsolve(np.zeros(0), r.data)
+    # Recovered x2 must satisfy the equality row exactly.
+    np.testing.assert_allclose(x[1] + 2 * x[2], 4.0, atol=1e-7)
+    np.testing.assert_allclose(float(p.c @ x), oracle.fun, atol=1e-6)
+
+
+def test_free_singleton_postsolve_save_load(tmp_path):
+    """The substitution stack survives the transformation-file round trip."""
+    p = _lp(
+        [1, 3, 1],
+        [[1, 1, 0], [0, 1, 2]],
+        [2, 4],
+        1,
+        [0, 0, -np.inf],
+        [10, 10, np.inf],
+    )
+    r = presolve(p)
+    path = tmp_path / "tf.npz"
+    r.data.save(path)
+    data2 = PostsolveData.load(path)
+    x1 = postsolve(np.array([2.0, 0.0])[: len(r.data.col_map)], r.data)
+    x2 = postsolve(np.array([2.0, 0.0])[: len(data2.col_map)], data2)
+    np.testing.assert_allclose(x1, x2)

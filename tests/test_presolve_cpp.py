@@ -76,3 +76,49 @@ def test_cpp_full_reduction_solved():
     assert r.status == Status.SOLVED
     x = postsolve(np.zeros(0), r.data)
     np.testing.assert_allclose(x, [2.0, 1.0], atol=1e-9)
+
+
+def test_cpp_matches_python_dominated_columns():
+    """Parity on an instance with planted dominated columns."""
+    p = generate_feasible_lp(n=30, m_ineq=25, m_eq=0, seed=9)
+    K = p.K.toarray()
+    # Plant a dominated column: entries <= 0 in inequality rows, c >= 0.
+    K[:, 4] = -np.abs(K[:, 4])
+    p.c[4] = abs(p.c[4]) + 0.1
+    p.l[4] = -1.0
+    # And a u-side one: entries >= 0, c <= 0, finite upper bound.
+    K[:, 7] = np.abs(K[:, 7])
+    p.c[7] = -abs(p.c[7]) - 0.1
+    p.u[7] = 3.0
+    p.K = sp.csr_matrix(K)
+    rp, rc = _compare(p)
+    fixed = dict(zip(rp.data.fixed_idx.tolist(), rp.data.fixed_val.tolist()))
+    assert fixed.get(4) == -1.0
+    assert fixed.get(7) == 3.0
+
+
+def test_cpp_matches_python_free_singleton():
+    """Parity on an instance with a free column singleton in an equality
+    row, including the substitution stack."""
+    p = generate_feasible_lp(n=25, m_ineq=15, m_eq=6, seed=4)
+    K = p.K.toarray()
+    # Plant: new free variable appearing only in one equality row.
+    col = np.zeros((p.m, 1))
+    col[p.m_ineq + 2, 0] = 2.5
+    p.K = sp.csr_matrix(np.hstack([K, col]))
+    p.c = np.concatenate([p.c, [0.7]])
+    p.l = np.concatenate([p.l, [-np.inf]])
+    p.u = np.concatenate([p.u, [np.inf]])
+    rp, rc = _compare(p)
+    assert len(rp.data.subst_idx) >= 1
+    np.testing.assert_array_equal(rc.data.subst_idx, rp.data.subst_idx)
+    np.testing.assert_allclose(rc.data.subst_scale, rp.data.subst_scale)
+    np.testing.assert_allclose(rc.data.subst_rhs, rp.data.subst_rhs)
+    np.testing.assert_array_equal(rc.data.subst_indptr, rp.data.subst_indptr)
+    np.testing.assert_array_equal(rc.data.subst_cols, rp.data.subst_cols)
+    np.testing.assert_allclose(rc.data.subst_vals, rp.data.subst_vals)
+    # Postsolve equivalence through both stacks.
+    x_red = np.linspace(0.1, 1.0, rp.problem.n)
+    np.testing.assert_allclose(
+        postsolve(x_red, rc.data), postsolve(x_red, rp.data)
+    )

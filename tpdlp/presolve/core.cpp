@@ -13,7 +13,11 @@
 //   3. empty columns     -> fix at the cost-optimal bound (DUAL_INFEASIBLE
 //                           when that bound is infinite)
 //   4. fixed variables   -> substitute into rhs, accumulate obj offset
-//   5. duplicate rows    -> proportional rows merged (tighter rhs for
+//   5. dominated columns -> duality fixing at a bound (DUAL_INFEASIBLE when
+//                           the forced bound is infinite with strict cost)
+//   6. free column singletons in equality rows -> substituted out via the
+//                           row (postsolve substitution stack)
+//   7. duplicate rows    -> proportional rows merged (tighter rhs for
 //                           inequalities; contradiction check for equalities)
 //
 // Exposed via a C ABI (ctypes); the postsolve transformation (surviving-
@@ -56,6 +60,12 @@ struct Result {
   Problem p;
   std::vector<int64_t> fixed_idx;
   std::vector<double> fixed_val;
+  // Substitution stack (free column singletons; CSR-like layout).
+  std::vector<int64_t> subst_idx;
+  std::vector<double> subst_scale, subst_rhs;
+  std::vector<int64_t> subst_indptr{0};
+  std::vector<int64_t> subst_cols;
+  std::vector<double> subst_vals;
   double obj_offset = 0.0;
   int64_t rows_removed = 0;
   int64_t cols_removed = 0;
@@ -229,6 +239,135 @@ bool pass_columns(Problem& p, Result& r) {
   return true;
 }
 
+// Dominated columns (duality fixing; PaPILO's DualFix).  A column with no
+// equality-row entries whose inequality entries all share one sign admits a
+// one-sided dual bound: with rows G x >= h (dual y >= 0) the reduced cost
+// lambda_j = c_j - sum_i a_ij y_i is >= c_j when all a_ij <= 0, so c_j >= 0
+// forces x_j to its lower bound; symmetrically c_j <= 0 with all a_ij >= 0
+// forces the upper bound.  An infinite forced bound with strict cost sign
+// certifies dual infeasibility.  The bound pinch (l == u) is applied here;
+// pass_columns performs the substitution.
+bool pass_dominated_cols(Problem& p, Result& r) {
+  const size_t n = p.c.size();
+  std::vector<uint8_t> has_eq(n, 0), pos_ineq(n, 0), neg_ineq(n, 0),
+      nonempty(n, 0);
+  for (size_t i = 0; i < p.rows.size(); ++i) {
+    for (const auto& e : p.rows[i]) {
+      nonempty[e.col] = 1;
+      if (!p.is_ineq[i]) {
+        has_eq[e.col] = 1;
+      } else if (e.val > 0) {
+        pos_ineq[e.col] = 1;
+      } else if (e.val < 0) {
+        neg_ineq[e.col] = 1;
+      }
+    }
+  }
+  bool any = false;
+  for (size_t j = 0; j < n; ++j) {
+    if (!nonempty[j] || has_eq[j] || !(p.l[j] < p.u[j])) continue;
+    const bool lo = !pos_ineq[j] && p.c[j] >= 0;
+    const bool hi = !neg_ineq[j] && p.c[j] <= 0;
+    if (lo) {
+      if (std::isfinite(p.l[j])) {
+        p.u[j] = p.l[j];
+        any = true;
+      } else if (p.c[j] > 0) {
+        r.status = kDualInfeasible;
+        return false;
+      }
+    } else if (hi) {
+      if (std::isfinite(p.u[j])) {
+        p.l[j] = p.u[j];
+        any = true;
+      } else if (p.c[j] < 0) {
+        r.status = kDualInfeasible;
+        return false;
+      }
+    }
+  }
+  return any;
+}
+
+// Free column singletons in equality rows: a free variable (l = -inf,
+// u = +inf) with a single nonzero a_ij in an equality row is determined by
+// that row: x_j = (b_i - sum_k a_ik x_k)/a_ij.  Remove row i and column j,
+// fold c_j through the row into the remaining costs, and push the
+// substitution onto the postsolve stack (PaPILO's column-singleton family).
+bool pass_free_singleton_cols(Problem& p, Result& r) {
+  const size_t n = p.c.size();
+  const size_t m = p.rows.size();
+  std::vector<int64_t> col_nnz(n, 0);
+  std::vector<int64_t> col_row(n, -1);
+  std::vector<double> col_val(n, 0.0);
+  for (size_t i = 0; i < m; ++i) {
+    for (const auto& e : p.rows[i]) {
+      ++col_nnz[e.col];
+      col_row[e.col] = static_cast<int64_t>(i);
+      col_val[e.col] = e.val;
+    }
+  }
+  std::vector<uint8_t> row_used(m, 0), drop_row(m, 0), drop_col(n, 0);
+  bool any = false;
+  for (size_t j = 0; j < n; ++j) {
+    if (col_nnz[j] != 1) continue;
+    if (!(std::isinf(p.l[j]) && p.l[j] < 0)) continue;
+    if (!(std::isinf(p.u[j]) && p.u[j] > 0)) continue;
+    const int64_t i = col_row[j];
+    if (p.is_ineq[i] || row_used[i]) continue;
+    const double a_jj = col_val[j];
+    double vmax = 0.0;
+    for (const auto& e : p.rows[i]) vmax = std::max(vmax, std::fabs(e.val));
+    if (std::fabs(a_jj) < 1e-10 * (1.0 + vmax)) continue;  // unsafe pivot
+    const double ratio = p.c[j] / a_jj;
+    r.subst_idx.push_back(p.orig_cols[j]);
+    r.subst_scale.push_back(a_jj);
+    r.subst_rhs.push_back(p.q[i]);
+    for (const auto& e : p.rows[i]) {
+      if (e.col == static_cast<int32_t>(j)) continue;
+      p.c[e.col] -= ratio * e.val;
+      r.subst_cols.push_back(p.orig_cols[e.col]);
+      r.subst_vals.push_back(e.val);
+    }
+    r.subst_indptr.push_back(static_cast<int64_t>(r.subst_cols.size()));
+    r.obj_offset += ratio * p.q[i];
+    row_used[i] = 1;
+    drop_row[i] = 1;
+    drop_col[j] = 1;
+    any = true;
+  }
+  if (!any) return false;
+  drop_rows(p, drop_row, r);
+  // Compact columns (dropped columns have no surviving entries: their only
+  // row was just removed) and remap indices in the remaining rows.
+  std::vector<int32_t> new_col(n, -1);
+  int32_t w = 0;
+  for (size_t j = 0; j < n; ++j) {
+    if (drop_col[j]) {
+      ++r.cols_removed;
+    } else {
+      new_col[j] = w++;
+    }
+  }
+  for (auto& row : p.rows)
+    for (auto& e : row) e.col = new_col[e.col];
+  std::vector<double> c2, l2, u2;
+  std::vector<int64_t> oc2;
+  c2.reserve(w);
+  for (size_t j = 0; j < n; ++j) {
+    if (drop_col[j]) continue;
+    c2.push_back(p.c[j]);
+    l2.push_back(p.l[j]);
+    u2.push_back(p.u[j]);
+    oc2.push_back(p.orig_cols[j]);
+  }
+  p.c = std::move(c2);
+  p.l = std::move(l2);
+  p.u = std::move(u2);
+  p.orig_cols = std::move(oc2);
+  return true;
+}
+
 bool pass_duplicate_rows(Problem& p, Result& r) {
   const double tol = feas_tol(p.q);
   // Signature: column pattern + values normalised by the leading nonzero.
@@ -309,6 +448,9 @@ void* tpdlp_presolve_run(
     if (res->status != kRunning) break;
     if (pass_columns(p, *res)) { changed = true; continue; }
     if (res->status != kRunning) break;
+    if (pass_dominated_cols(p, *res)) { changed = true; continue; }
+    if (res->status != kRunning) break;
+    if (pass_free_singleton_cols(p, *res)) { changed = true; continue; }
     if (pass_duplicate_rows(p, *res)) changed = true;
   }
 
@@ -390,6 +532,29 @@ void tpdlp_get_postsolve(void* h, int64_t* col_map, int64_t* fixed_idx,
               r->fixed_idx.size() * sizeof(int64_t));
   std::memcpy(fixed_val, r->fixed_val.data(),
               r->fixed_val.size() * sizeof(double));
+}
+
+int64_t tpdlp_n_subst(void* h) {
+  return static_cast<Result*>(h)->subst_idx.size();
+}
+int64_t tpdlp_subst_nnz(void* h) {
+  return static_cast<Result*>(h)->subst_cols.size();
+}
+void tpdlp_get_subst(void* h, int64_t* idx, double* scale, double* rhs,
+                     int64_t* indptr, int64_t* cols, double* vals) {
+  const auto* r = static_cast<Result*>(h);
+  std::memcpy(idx, r->subst_idx.data(),
+              r->subst_idx.size() * sizeof(int64_t));
+  std::memcpy(scale, r->subst_scale.data(),
+              r->subst_scale.size() * sizeof(double));
+  std::memcpy(rhs, r->subst_rhs.data(),
+              r->subst_rhs.size() * sizeof(double));
+  std::memcpy(indptr, r->subst_indptr.data(),
+              r->subst_indptr.size() * sizeof(int64_t));
+  std::memcpy(cols, r->subst_cols.data(),
+              r->subst_cols.size() * sizeof(int64_t));
+  std::memcpy(vals, r->subst_vals.data(),
+              r->subst_vals.size() * sizeof(double));
 }
 
 void tpdlp_free(void* h) { delete static_cast<Result*>(h); }

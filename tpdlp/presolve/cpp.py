@@ -80,6 +80,15 @@ def _lib():
     lib.tpdlp_get_postsolve.argtypes = [
         ctypes.c_void_p, p(i64), p(i64), p(ctypes.c_double)
     ]
+    lib.tpdlp_n_subst.restype = i64
+    lib.tpdlp_n_subst.argtypes = [ctypes.c_void_p]
+    lib.tpdlp_subst_nnz.restype = i64
+    lib.tpdlp_subst_nnz.argtypes = [ctypes.c_void_p]
+    lib.tpdlp_get_subst.restype = None
+    lib.tpdlp_get_subst.argtypes = [
+        ctypes.c_void_p, p(i64), p(ctypes.c_double), p(ctypes.c_double),
+        p(i64), p(i64), p(ctypes.c_double),
+    ]
     lib.tpdlp_free.restype = None
     lib.tpdlp_free.argtypes = [ctypes.c_void_p]
     _LIB = lib
@@ -133,12 +142,34 @@ def presolve_cpp(problem, *, max_passes: int = 10):
             h, _ptr(col_map, ctypes.c_int64), _ptr(fixed_idx, ctypes.c_int64),
             _ptr(fixed_val, ctypes.c_double),
         )
+        n_subst = lib.tpdlp_n_subst(h)
+        subst_nnz = lib.tpdlp_subst_nnz(h)
+        subst_idx = np.empty(n_subst, np.int64)
+        subst_scale = np.empty(n_subst, np.float64)
+        subst_rhs = np.empty(n_subst, np.float64)
+        subst_indptr = np.empty(n_subst + 1, np.int64)
+        subst_cols = np.empty(subst_nnz, np.int64)
+        subst_vals = np.empty(subst_nnz, np.float64)
+        lib.tpdlp_get_subst(
+            h, _ptr(subst_idx, ctypes.c_int64),
+            _ptr(subst_scale, ctypes.c_double),
+            _ptr(subst_rhs, ctypes.c_double),
+            _ptr(subst_indptr, ctypes.c_int64),
+            _ptr(subst_cols, ctypes.c_int64),
+            _ptr(subst_vals, ctypes.c_double),
+        )
         data_out = PostsolveData(
             n_orig=problem.n,
             col_map=col_map,
             fixed_idx=fixed_idx,
             fixed_val=fixed_val,
             obj_offset=lib.tpdlp_obj_offset(h),
+            subst_idx=subst_idx,
+            subst_scale=subst_scale,
+            subst_rhs=subst_rhs,
+            subst_indptr=subst_indptr,
+            subst_cols=subst_cols,
+            subst_vals=subst_vals,
         )
         rows_removed = lib.tpdlp_rows_removed(h)
         cols_removed = lib.tpdlp_cols_removed(h)

@@ -5,9 +5,9 @@ the pybind11 wrapper Packages/papilo_wrapper.cpp:11-50 — `presolve_mps`
 writes a reduced MPS + transformation data, `postsolve_solution` maps the
 reduced primal solution back).  This module implements the core reductions
 PaPILO applies that matter for LP (SURVEY.md §2.2): empty/singleton rows,
-empty columns, fixed-variable removal, duplicate rows, and singleton-row
-bound tightening, iterated to a fixpoint — plus infeasibility/unboundedness
-detection during reduction.
+empty columns, fixed-variable removal, dominated columns (duality fixing),
+duplicate rows, and singleton-row bound tightening, iterated to a fixpoint —
+plus infeasibility/unboundedness detection during reduction.
 
 Postsolve is primal, like the reference's `papilo postsolve -u reduced.sol`
 path: the reduced x maps back through (column map, fixed values).  The
@@ -31,15 +31,52 @@ from tpdlp.config import Status
 from tpdlp.problem import LPProblem
 
 
+def _empty_subst():
+    return dict(
+        subst_idx=np.zeros(0, np.int64),
+        subst_scale=np.zeros(0),
+        subst_rhs=np.zeros(0),
+        subst_indptr=np.zeros(1, np.int64),
+        subst_cols=np.zeros(0, np.int64),
+        subst_vals=np.zeros(0),
+    )
+
+
 @dataclasses.dataclass
 class PostsolveData:
-    """Everything needed to map a reduced primal solution back."""
+    """Everything needed to map a reduced primal solution back.
+
+    Two transformation families, applied in this order at postsolve:
+    (1) surviving-column scatter + fixed values, (2) the substitution stack
+    (free column singletons eliminated via their equality row), evaluated in
+    reverse elimination order: x[j] = (rhs - sum_k vals*x[cols]) / scale,
+    with `cols` in ORIGINAL variable indices.
+    """
 
     n_orig: int
     col_map: np.ndarray  # indices (into original x) of surviving columns
     fixed_idx: np.ndarray  # original indices of eliminated columns
     fixed_val: np.ndarray  # their values
     obj_offset: float  # c_fixed . x_fixed accumulated into the objective
+    # Substitution stack (CSR-like layout over stack entries).
+    subst_idx: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int64)
+    )
+    subst_scale: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    subst_rhs: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    subst_indptr: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(1, np.int64)
+    )
+    subst_cols: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int64)
+    )
+    subst_vals: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
 
     def save(self, path) -> None:
         np.savez(
@@ -49,17 +86,28 @@ class PostsolveData:
             fixed_idx=self.fixed_idx,
             fixed_val=self.fixed_val,
             obj_offset=self.obj_offset,
+            subst_idx=self.subst_idx,
+            subst_scale=self.subst_scale,
+            subst_rhs=self.subst_rhs,
+            subst_indptr=self.subst_indptr,
+            subst_cols=self.subst_cols,
+            subst_vals=self.subst_vals,
         )
 
     @classmethod
     def load(cls, path) -> "PostsolveData":
         z = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
+        subst = _empty_subst()
+        for k in subst:
+            if k in z.files:
+                subst[k] = z[k]
         return cls(
             n_orig=int(z["n_orig"]),
             col_map=z["col_map"],
             fixed_idx=z["fixed_idx"],
             fixed_val=z["fixed_val"],
             obj_offset=float(z["obj_offset"]),
+            **subst,
         )
 
 
@@ -79,6 +127,14 @@ def postsolve(x_reduced: np.ndarray, data: PostsolveData) -> np.ndarray:
     x = np.zeros(data.n_orig)
     x[data.col_map] = x_reduced
     x[data.fixed_idx] = data.fixed_val
+    # Substituted free singletons, in reverse elimination order (later
+    # entries may reference variables recovered by earlier reverse steps).
+    for t in range(len(data.subst_idx) - 1, -1, -1):
+        s, e = data.subst_indptr[t], data.subst_indptr[t + 1]
+        x[data.subst_idx[t]] = (
+            data.subst_rhs[t]
+            - data.subst_vals[s:e] @ x[data.subst_cols[s:e]]
+        ) / data.subst_scale[t]
     return x
 
 
@@ -120,6 +176,11 @@ def presolve(
     orig_cols = np.arange(n)
     fixed_idx: list[int] = []
     fixed_val: list[float] = []
+    subst_idx: list[int] = []
+    subst_scale: list[float] = []
+    subst_rhs: list[float] = []
+    subst_cols: list[np.ndarray] = []
+    subst_vals: list[np.ndarray] = []
     obj_offset = 0.0
     rows_removed = 0
     cols_removed = 0
@@ -234,6 +295,103 @@ def presolve(
             changed = True
             continue
 
+        # ---- dominated columns (duality fixing; PaPILO's DualFix) ----
+        # A column with no equality-row entries whose inequality entries all
+        # share one sign admits a one-sided dual bound: with rows G x >= h
+        # (dual y >= 0) the reduced cost lambda_j = c_j - sum_i a_ij y_i is
+        # >= c_j when all a_ij <= 0, so c_j >= 0 forces x_j to its lower
+        # bound; symmetrically c_j <= 0 with all a_ij >= 0 forces the upper
+        # bound.  An infinite forced bound with strict cost sign certifies
+        # dual infeasibility.
+        Kc2 = K.tocsc()
+        n = Kc2.shape[1]
+        col_ids = np.repeat(np.arange(n), np.diff(Kc2.indptr))
+        entry_eq = ~is_ineq[Kc2.indices]
+        has_eq = np.bincount(col_ids[entry_eq], minlength=n) > 0
+        pos_ineq = np.bincount(
+            col_ids[(Kc2.data > 0) & ~entry_eq], minlength=n
+        ) > 0
+        neg_ineq = np.bincount(
+            col_ids[(Kc2.data < 0) & ~entry_eq], minlength=n
+        ) > 0
+        nonempty = np.diff(Kc2.indptr) > 0
+        unfixed = l < u
+        cand_lo = ~has_eq & ~pos_ineq & (c >= 0) & nonempty & unfixed
+        cand_hi = ~has_eq & ~neg_ineq & (c <= 0) & nonempty & unfixed
+        dom = False
+        for j in np.flatnonzero(cand_lo):
+            if np.isfinite(l[j]):
+                u[j] = l[j]
+                dom = True
+            elif c[j] > 0:
+                fail(Status.DUAL_INFEASIBLE)
+                break
+        if status == Status.RUNNING:
+            for j in np.flatnonzero(cand_hi & ~cand_lo):
+                if np.isfinite(u[j]):
+                    l[j] = u[j]
+                    dom = True
+                elif c[j] < 0:
+                    fail(Status.DUAL_INFEASIBLE)
+                    break
+        if status != Status.RUNNING:
+            break
+        if dom:
+            changed = True
+            continue  # the fixed-variable pass performs the substitution
+
+        # ---- free column singletons in equality rows (substitution) ----
+        # A free variable (l = -inf, u = +inf) with a single nonzero, in an
+        # equality row, is determined by that row: x_j = (b_i - sum_k a_ik
+        # x_k)/a_ij.  Remove row i and column j; fold c_j through the row
+        # into the remaining costs.  Primal recovery happens in the
+        # postsolve substitution stack (PaPILO's column-singleton family).
+        col_nnz3 = np.diff(Kc2.indptr)
+        free_col = np.isneginf(l) & np.isposinf(u)
+        cand_fs = np.flatnonzero((col_nnz3 == 1) & free_col)
+        if cand_fs.size:
+            Kr = K.tocsr()
+            m = Kr.shape[0]
+            row_used = np.zeros(m, dtype=bool)
+            drop_row = np.zeros(m, dtype=bool)
+            drop_col = np.zeros(Kr.shape[1], dtype=bool)
+            for j in cand_fs:
+                i = Kc2.indices[Kc2.indptr[j]]
+                if is_ineq[i] or row_used[i]:
+                    continue
+                a_jj = Kc2.data[Kc2.indptr[j]]
+                s, e = Kr.indptr[i], Kr.indptr[i + 1]
+                vals = Kr.data[s:e]
+                if abs(a_jj) < 1e-10 * (1.0 + np.max(np.abs(vals))):
+                    continue  # numerically unsafe pivot
+                cols = Kr.indices[s:e]
+                keep_k = cols != j
+                ratio = c[j] / a_jj
+                c[cols[keep_k]] -= ratio * vals[keep_k]
+                obj_offset += ratio * q[i]
+                subst_idx.append(int(orig_cols[j]))
+                subst_scale.append(float(a_jj))
+                subst_rhs.append(float(q[i]))
+                subst_cols.append(orig_cols[cols[keep_k]].copy())
+                subst_vals.append(vals[keep_k].copy())
+                row_used[i] = True
+                drop_row[i] = True
+                drop_col[j] = True
+            if drop_col.any():
+                keep_r = ~drop_row
+                keep_c = ~drop_col
+                K = Kr[keep_r][:, keep_c]
+                q = q[keep_r]
+                is_ineq = is_ineq[keep_r]
+                c = c[keep_c]
+                l = l[keep_c]
+                u = u[keep_c]
+                orig_cols = orig_cols[keep_c]
+                rows_removed += int(drop_row.sum())
+                cols_removed += int(drop_col.sum())
+                changed = True
+                continue
+
         # ---- duplicate rows (identical pattern, proportional values) ----
         K = K.tocsr()
         m = K.shape[0]
@@ -270,12 +428,26 @@ def presolve(
                 rows_removed += int(drop_rows.sum())
                 changed = True
 
+    indptr = np.zeros(len(subst_idx) + 1, np.int64)
+    if subst_idx:
+        indptr[1:] = np.cumsum([len(a) for a in subst_cols])
     data = PostsolveData(
         n_orig=problem.n,
         col_map=orig_cols,
         fixed_idx=np.asarray(fixed_idx, dtype=np.int64),
         fixed_val=np.asarray(fixed_val),
         obj_offset=obj_offset,
+        subst_idx=np.asarray(subst_idx, dtype=np.int64),
+        subst_scale=np.asarray(subst_scale),
+        subst_rhs=np.asarray(subst_rhs),
+        subst_indptr=indptr,
+        subst_cols=(
+            np.concatenate(subst_cols).astype(np.int64)
+            if subst_cols else np.zeros(0, np.int64)
+        ),
+        subst_vals=(
+            np.concatenate(subst_vals) if subst_vals else np.zeros(0)
+        ),
     )
 
     if status != Status.RUNNING:
