@@ -66,3 +66,21 @@ def test_batch_mixed_feasible_infeasible():
     results = solve_batch(problems, cfg)
     assert results[0].status == Status.SOLVED
     assert results[1].status == Status.PRIMAL_INFEASIBLE
+
+
+def test_batch_global_restart_sync():
+    """The lockstep restart schedule solves to the same tolerance and
+    objectives as the exact per-element schedule."""
+    problems = [
+        generate_feasible_lp(n=30, m_ineq=18, m_eq=6, seed=s)
+        for s in range(4)
+    ]
+    cfg = SolverConfig(tol=1e-6, max_kkt=60_000, scaling="ruiz")
+    exact = solve_batch(problems, cfg, restart_sync="element")
+    fast = solve_batch(problems, cfg, restart_sync="global")
+    for p, re_, rf in zip(problems, exact, fast):
+        assert rf.status == Status.SOLVED, (p.name, rf.status_string)
+        np.testing.assert_allclose(rf.objective, re_.objective, rtol=1e-4)
+
+    with pytest.raises(ValueError):
+        solve_batch(problems, cfg, restart_sync="bogus")

@@ -32,7 +32,12 @@ from tpdlp.config import SolverConfig, Status
 from tpdlp.ops.dense import DenseOp
 from tpdlp.problem import LPProblem, device_problem
 from tpdlp.scaling.ruiz import scale_problem
-from tpdlp.solver.loop import final_eval, run_chunk_impl
+from tpdlp.solver.loop import (
+    final_eval,
+    make_body,
+    restart_check_gated,
+    run_chunk_impl,
+)
 from tpdlp.solver.power_iteration import spectral_norm_estimate
 from tpdlp.solver.solve import SolveResult, default_dtype
 from tpdlp.solver.state import init_state
@@ -107,6 +112,45 @@ def _batch_chunk(sts, pbs, j_budget, cfg: SolverConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _batch_chunk_sync(sts, pbs, j_budget, cfg: SolverConfig):
+    """Lockstep batched chunk: one global while_loop stepping all elements.
+
+    Under vmap a per-element `lax.cond` select-executes BOTH branches for
+    every element, so the vmapped per-element loop (`_batch_chunk`) pays the
+    restart check's three residual evaluations on *every* iteration.  Here
+    the restart check runs only at global `restart_period` boundaries
+    (per-element gate: >= restart_period iterations since that element's
+    last restart), restoring the 1-SpMV-pair-per-iteration cost model at
+    the price of a slightly looser restart cadence (period in
+    [restart_period, 2*restart_period) after an element's first restart).
+    """
+    step = jax.vmap(
+        lambda s, p: make_body(p, cfg, include_restart=False)(s)
+    )
+    restart = jax.vmap(lambda s, p: restart_check_gated(p, cfg, s))
+
+    def cond(carry):
+        sts, _ = carry
+        running = sts.status == jnp.int32(Status.RUNNING)
+        j_min = jnp.min(jnp.where(running, sts.j, j_budget))
+        return running.any() & (j_min < j_budget)
+
+    def body(carry):
+        sts, i = carry
+        sts = step(sts, pbs)
+        sts = jax.lax.cond(
+            (i + 1) % cfg.restart_period == 0,
+            lambda s: restart(s, pbs),
+            lambda s: s,
+            sts,
+        )
+        return sts, i + 1
+
+    sts, _ = jax.lax.while_loop(cond, body, (sts, jnp.int32(0)))
+    return sts
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _batch_final(sts, pbs, cfg: SolverConfig):
     def one(s, p):
         return jax.lax.cond(
@@ -125,10 +169,24 @@ def solve_batch(
     *,
     dtype=None,
     seed: int = 0,
+    restart_sync: str = "element",
 ) -> list[SolveResult]:
-    """Solve a batch of LPs as one vmapped device program."""
+    """Solve a batch of LPs as one vmapped device program.
+
+    `restart_sync`:
+    - "element" (default): each element fires its restart check on its own
+      t % restart_period schedule — trajectories match single `solve` calls
+      exactly, but under vmap the check's cost is paid every iteration
+      (lax.cond lowers to select).
+    - "global": restart checks run at global step boundaries with a
+      per-element >= restart_period gate — same algorithm, ~2-3x higher
+      fleet throughput; trajectories may differ slightly from single solves
+      (looser restart cadence).
+    """
     start = time.perf_counter()
     cfg = config
+    if restart_sync not in ("element", "global"):
+        raise ValueError(f"unknown restart_sync: {restart_sync!r}")
     for p in problems:
         p.validate()
     if dtype is None:
@@ -155,7 +213,10 @@ def solve_batch(
             timed_out = True
             break
         budget = min(cfg.max_kkt, int(js[running].min()) + chunk)
-        sts = _batch_chunk(sts, pbs, jnp.int32(budget), cfg)
+        chunk_fn = (
+            _batch_chunk_sync if restart_sync == "global" else _batch_chunk
+        )
+        sts = chunk_fn(sts, pbs, jnp.int32(budget), cfg)
         chunk = min(chunk * 2, cfg.chunk_kkt_max)
 
     if not timed_out:

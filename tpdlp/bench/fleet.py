@@ -40,7 +40,9 @@ def perturbed_fleet(base, batch: int, rel: float = 0.05, seed: int = 0):
     return out
 
 
-def run_fleet(problems, tol, max_kkt, dtype_name="float32"):
+def run_fleet(
+    problems, tol, max_kkt, dtype_name="float32", restart_sync="global"
+):
     import jax.numpy as jnp
 
     from tpdlp import SolverConfig
@@ -51,9 +53,10 @@ def run_fleet(problems, tol, max_kkt, dtype_name="float32"):
         primal_weight_update=True, time_limit=1200,
     )
     dtype = jnp.float32 if dtype_name == "float32" else jnp.float64
-    rs = solve_batch(problems, cfg, dtype=dtype)  # warm (compile)
+    kw = dict(dtype=dtype, restart_sync=restart_sync)
+    rs = solve_batch(problems, cfg, **kw)  # warm (compile)
     t0 = time.perf_counter()
-    rs = solve_batch(problems, cfg, dtype=dtype)
+    rs = solve_batch(problems, cfg, **kw)
     wall = time.perf_counter() - t0
     solved = sum(r.status_string == "Solved" for r in rs)
     return {

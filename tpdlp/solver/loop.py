@@ -135,12 +135,31 @@ def _restart_check(pb, cfg: SolverConfig, st: PDHGState) -> PDHGState:
     return jax.lax.cond(do_restart, restart, lambda s: s, st)
 
 
-def make_body(pb, cfg: SolverConfig):
+def restart_check_gated(pb, cfg: SolverConfig, st: PDHGState) -> PDHGState:
+    """Restart check under the lockstep (global-period) schedule: fire when
+    at least `restart_period` iterations have run since the last restart.
+    Used by the batched solver, which evaluates this at global step
+    boundaries so the (expensive) check amortises across the batch instead
+    of being select-executed every iteration under vmap."""
+    fire = (st.t >= cfg.restart_period) & (
+        st.status == jnp.int32(Status.RUNNING)
+    )
+    return jax.lax.cond(
+        fire, lambda s: _restart_check(pb, cfg, s), lambda s: s, st
+    )
+
+
+def make_body(pb, cfg: SolverConfig, include_restart: bool = True):
     """One PDHG iteration as a pure state transition.
 
     The body is a no-op once the status is terminal: required for batched
     (vmap) solves, where the lifted while_loop keeps stepping every batch
     element until all are done — finished instances must hold their state.
+
+    `include_restart=False` omits the per-iteration restart condition; the
+    caller schedules `restart_check_gated` itself (the batched lockstep
+    mode, where a vmapped `lax.cond` would otherwise select-execute the
+    restart work every iteration for every element).
     """
 
     def live_body(st: PDHGState) -> PDHGState:
@@ -219,6 +238,8 @@ def make_body(pb, cfg: SolverConfig):
             eta=eta_next,
         )
 
+        if not include_restart:
+            return st3
         fire = (
             (st3.t % cfg.restart_period == 0)
             & (st3.status == jnp.int32(Status.RUNNING))
