@@ -53,3 +53,45 @@ def test_primal_infeasible_seeds(seed):
     p = generate_infeasible_lp(seed=seed)
     r = solve(p, _cfg(1e-4))
     assert r.status == Status.PRIMAL_INFEASIBLE
+
+
+def test_normalized_certificate_families():
+    """Both normalized families (iterate x/k and average 2*sum/(k(k+1)))
+    fire on a clean unbounded ray; a feasible solve with them enabled still
+    reaches SOLVED (experiments/InfeasibilityDetection3.py:339-382)."""
+    import jax.numpy as jnp
+
+    from tpdlp.solver.infeasibility import (
+        normalized_average_certificates,
+        normalized_iterate_certificates,
+    )
+
+    # Synthetic ray: x_k = k * d (exactly linear growth) => x/k and the
+    # normalized average both converge to nonzero points.
+    import numpy as np
+
+    d = jnp.asarray(np.array([1.0, -0.5, 0.25]))
+    k = jnp.int32(50)
+    x_k = 50.0 * d
+    x_sum = d * (50 * 51 / 2.0)  # sum_{i<=50} i*d
+    zero = jnp.zeros(2)
+    st = normalized_iterate_certificates(
+        x_k, zero, 49.0 * d / 49.0, zero, k
+    )[0]
+    assert int(st) == int(Status.DUAL_INFEASIBLE)
+    st2 = normalized_average_certificates(
+        x_sum, jnp.zeros(2), x_k, zero, k
+    )
+    assert int(st2) == int(Status.DUAL_INFEASIBLE)
+
+    # Feasible problem with the full certificate stack on: still solves.
+    p = generate_feasible_lp(n=30, m_ineq=18, m_eq=6, seed=2)
+    r = solve(
+        p,
+        SolverConfig(
+            tol=1e-6, scaling="ruiz", adaptive=True,
+            infeasibility_detect=True, normalized_certificates=True,
+            normalized_tol_conv=1e-7,
+        ),
+    )
+    assert r.status == Status.SOLVED, r.status_string

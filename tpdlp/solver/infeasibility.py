@@ -141,3 +141,35 @@ def normalized_iterate_certificates(
         ),
     )
     return status, x_norm, y_norm
+
+
+def normalized_average_certificates(
+    x_sum, y_sum, x, y, k, tol_conv=1e-4, tol_nonzero=1e-3
+):
+    """Normalized-average convergence certificates
+    (experiments/InfeasibilityDetection3.py:345-346,365-382).
+
+    avg_k = 2 (sum_{i<=k} x_i) / (k (k+1)) converging to a nonzero point =>
+    DUAL_INFEASIBLE (resp. on y => PRIMAL_INFEASIBLE).  The previous average
+    is recovered from the running sum (avg_{k-1} = 2 (sum - x_k)/((k-1) k)),
+    so the carry needs only the plain sums, not a second history vector.
+    `x_sum`/`y_sum` must already include this iteration's x/y.
+    """
+    kf = jnp.maximum(k.astype(x.dtype), 2.0)
+    avg_x = 2.0 * x_sum / (kf * (kf + 1.0))
+    avg_y = 2.0 * y_sum / (kf * (kf + 1.0))
+    prev_x = 2.0 * (x_sum - x) / ((kf - 1.0) * kf)
+    prev_y = 2.0 * (y_sum - y) / ((kf - 1.0) * kf)
+    x_conv = jnp.linalg.norm(avg_x - prev_x) < tol_conv
+    x_nonzero = jnp.linalg.norm(avg_x) > tol_nonzero
+    y_conv = jnp.linalg.norm(avg_y - prev_y) < tol_conv
+    y_nonzero = jnp.linalg.norm(avg_y) > tol_nonzero
+    return jnp.where(
+        x_conv & x_nonzero,
+        jnp.int32(Status.DUAL_INFEASIBLE),
+        jnp.where(
+            y_conv & y_nonzero,
+            jnp.int32(Status.PRIMAL_INFEASIBLE),
+            jnp.int32(Status.RUNNING),
+        ),
+    )

@@ -213,6 +213,7 @@ def make_body(pb, cfg: SolverConfig, include_restart: bool = True):
 
         if cfg.normalized_certificates:
             from tpdlp.solver.infeasibility import (
+                normalized_average_certificates,
                 normalized_iterate_certificates,
             )
 
@@ -220,13 +221,28 @@ def make_body(pb, cfg: SolverConfig, include_restart: bool = True):
                 x_new, y_new, st2.x_norm_prev, st2.y_norm_prev, k_new,
                 cfg.normalized_tol_conv, cfg.normalized_tol_nonzero,
             )
+            xs = st2.x_plain_sum + x_new
+            ys = st2.y_plain_sum + y_new
+            cert_avg = normalized_average_certificates(
+                xs, ys, x_new, y_new, k_new,
+                cfg.normalized_tol_conv, cfg.normalized_tol_nonzero,
+            )
+            fireable = k_new > 2  # both families need two history points
             status_new = jnp.where(
-                (cert != jnp.int32(Status.RUNNING)) & (k_new > 2),
+                (cert != jnp.int32(Status.RUNNING)) & fireable,
                 cert,
-                st2.status,
+                jnp.where(
+                    (cert_avg != jnp.int32(Status.RUNNING)) & fireable,
+                    cert_avg,
+                    st2.status,
+                ),
             )
             st2 = st2.replace(
-                x_norm_prev=x_norm, y_norm_prev=y_norm, status=status_new
+                x_norm_prev=x_norm,
+                y_norm_prev=y_norm,
+                x_plain_sum=xs,
+                y_plain_sum=ys,
+                status=status_new,
             )
 
         # Averaging accumulation (:107-112), then the periodic restart check.

@@ -40,6 +40,10 @@ class PDHGState:
     # certificate family (experiments/InfeasibilityDetection3.py:339-364).
     x_norm_prev: jax.Array  # (n,)
     y_norm_prev: jax.Array  # (m,)
+    # Plain running sums for the normalized-average certificate family
+    # (experiments/InfeasibilityDetection3.py:345-346,365-382).
+    x_plain_sum: jax.Array  # (n,)
+    y_plain_sum: jax.Array  # (m,)
     # eta-weighted running averages (primal_dual_hybrid_gradient.py:107-109).
     x_sum: jax.Array
     y_sum: jax.Array
@@ -90,6 +94,8 @@ def init_state(pb, eta0, omega0, x0=None, y0=None) -> PDHGState:
         lam_prev=jnp.zeros((n,), dtype),
         x_norm_prev=jnp.zeros((n,), dtype),
         y_norm_prev=jnp.zeros((m,), dtype),
+        x_plain_sum=jnp.zeros((n,), dtype),
+        y_plain_sum=jnp.zeros((m,), dtype),
         x_sum=jnp.zeros((n,), dtype),
         y_sum=jnp.zeros((m,), dtype),
         eta_sum=zero,
