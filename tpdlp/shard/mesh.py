@@ -136,6 +136,7 @@ def shard_state(st: PDHGState, mesh: Mesh) -> PDHGState:
         kx_prev=sy(st.kx_prev), kty_prev=sx(st.kty_prev),
         lam_prev=sx(st.lam_prev),
         x_norm_prev=sx(st.x_norm_prev), y_norm_prev=sy(st.y_norm_prev),
+        x_plain_sum=sx(st.x_plain_sum), y_plain_sum=sy(st.y_plain_sum),
         x_sum=sx(st.x_sum), y_sum=sy(st.y_sum), eta_sum=sr(st.eta_sum),
         x_restart=sx(st.x_restart), y_restart=sy(st.y_restart),
         eta=sr(st.eta), omega=sr(st.omega), kkt_first=sr(st.kkt_first),
