@@ -115,37 +115,37 @@ def shard_device_problem(pb, mesh: Mesh):
     )
 
 
+# Carry fields living in x-space (length n, sharded on "col") and y-space
+# (length m, sharded on "row"); everything else is a replicated scalar.
+# Field-name driven so new PDHGState fields cannot be silently missed —
+# an unknown vector field falls back to replicated (correct, just slower).
+_X_FIELDS = frozenset({
+    "x", "kty", "x_prev", "kty_prev", "lam_prev", "x_norm_prev",
+    "x_plain_sum", "x_sum", "x_restart",
+})
+_Y_FIELDS = frozenset({
+    "y", "kx", "y_prev", "kx_prev", "y_norm_prev", "y_plain_sum",
+    "y_sum", "y_restart",
+})
+
+
 def shard_state(st: PDHGState, mesh: Mesh) -> PDHGState:
     """Place a PDHGState's arrays onto the mesh (x-space on "col",
     y-space on "row", scalars replicated)."""
+    import dataclasses as _dc
+
     _, yvec_s, xvec_s, rep_s = problem_shardings(mesh)
-    put = jax.device_put
-
-    def sx(v):
-        return put(v, xvec_s)
-
-    def sy(v):
-        return put(v, yvec_s)
-
-    def sr(v):
-        return put(v, rep_s)
-
-    return PDHGState(
-        x=sx(st.x), y=sy(st.y), kx=sy(st.kx), kty=sx(st.kty),
-        x_prev=sx(st.x_prev), y_prev=sy(st.y_prev),
-        kx_prev=sy(st.kx_prev), kty_prev=sx(st.kty_prev),
-        lam_prev=sx(st.lam_prev),
-        x_norm_prev=sx(st.x_norm_prev), y_norm_prev=sy(st.y_norm_prev),
-        x_plain_sum=sx(st.x_plain_sum), y_plain_sum=sy(st.y_plain_sum),
-        x_sum=sx(st.x_sum), y_sum=sy(st.y_sum), eta_sum=sr(st.eta_sum),
-        x_restart=sx(st.x_restart), y_restart=sy(st.y_restart),
-        eta=sr(st.eta), omega=sr(st.omega), kkt_first=sr(st.kkt_first),
-        k=sr(st.k), t=sr(st.t), n_restarts=sr(st.n_restarts), j=sr(st.j),
-        status=sr(st.status),
-        prim_obj=sr(st.prim_obj), adjusted_dual=sr(st.adjusted_dual),
-        primal_res=sr(st.primal_res), dual_res=sr(st.dual_res),
-        gap=sr(st.gap),
-    )
+    kwargs = {}
+    for f in _dc.fields(st):
+        v = getattr(st, f.name)
+        if f.name in _X_FIELDS:
+            s = xvec_s
+        elif f.name in _Y_FIELDS:
+            s = yvec_s
+        else:
+            s = rep_s
+        kwargs[f.name] = jax.device_put(v, s)
+    return PDHGState(**kwargs)
 
 
 def pad_problem_arrays(K, c, q, l, u, ineq_mask, m_pad: int, n_pad: int):
