@@ -49,12 +49,18 @@ def main():
         file=sys.stderr,
     )
     try:
-        ref = run_reference(problem, tol=TOL, max_kkt=MAX_KKT)
-        print(
-            f"[bench] reference (torch cpu): {ref['time']:.3f}s "
-            f"k={ref['iterations']} ({ref['iters_per_sec']:.0f} it/s)",
-            file=sys.stderr,
-        )
+        # Symmetric protocol: best of 3 for the reference as well.
+        refs = [run_reference(problem, tol=TOL, max_kkt=MAX_KKT)
+                for _ in range(3)]
+        refs = [r for r in refs if r is not None]
+        ref = min(refs, key=lambda r: r["time"]) if refs else None
+        if ref:
+            print(
+                f"[bench] reference (torch cpu, best of 3): "
+                f"{ref['time']:.3f}s "
+                f"k={ref['iterations']} ({ref['iters_per_sec']:.0f} it/s)",
+                file=sys.stderr,
+            )
     except Exception as e:
         print(f"[bench] reference failed: {e}", file=sys.stderr)
         ref = None

@@ -55,3 +55,25 @@ def test_normalized_certificates_detect_infeasible():
     r = solve(p, cfg)
     # The y/k family should flag dual unboundedness (primal infeasible).
     assert r.status == Status.PRIMAL_INFEASIBLE
+
+
+def test_load_checkpoint_missing_new_fields(tmp_path):
+    """Checkpoints written before x_plain_sum/y_plain_sum existed still
+    load (new fields default to zeros of the matching space)."""
+    import numpy as np
+
+    from tpdlp.solver.checkpoint import load_state, save_state
+
+    p = generate_feasible_lp(n=20, m_ineq=12, m_eq=4, seed=0)
+    cfg = SolverConfig(tol=1e-6, max_kkt=40)
+    path = tmp_path / "old_ck"
+    solve(p, cfg, checkpoint_path=str(path))
+    z = dict(np.load(str(path) + ".npz"))
+    del z["x_plain_sum"], z["y_plain_sum"]
+    np.savez(str(path) + ".npz", **z)
+    st = load_state(str(path))
+    assert st.x_plain_sum.shape == st.x.shape
+    assert float(abs(st.x_plain_sum).sum()) == 0.0
+    r = solve(p, SolverConfig(tol=1e-6), checkpoint_path=str(path),
+              resume=True)
+    assert r.status == Status.SOLVED

@@ -120,3 +120,23 @@ def test_precision_escalation_two_stage():
     )
     assert r.kkt_passes > s1.kkt_passes
     assert r.x.dtype == np.float64
+
+
+def test_escalation_budget_exhausted_reports_kkt_limit():
+    """If the fp32 stage consumes the whole KKT budget, the requested
+    (tighter) tolerance was never certified: status must be KKT_LIMIT,
+    not the coarse stage's SOLVED."""
+    import jax.numpy as jnp
+
+    from tpdlp.solver.solve import _solve_escalated
+
+    problem = generate_feasible_lp(n=30, m_ineq=18, m_eq=6, seed=3)
+    cfg = SolverConfig(tol=1e-8, scaling="ruiz")
+    s1 = solve(problem, cfg.replace(tol=cfg.escalation_tol), dtype=jnp.float32)
+    assert s1.status == Status.SOLVED
+    r = _solve_escalated(
+        problem, cfg.replace(max_kkt=s1.kkt_passes), seed=0, time_used=0.0,
+        mesh=None, matrix_format="dense", checkpoint_path=None,
+        log_history=False,
+    )
+    assert r.status == Status.KKT_LIMIT

@@ -124,8 +124,16 @@ def _batch_chunk_sync(sts, pbs, j_budget, cfg: SolverConfig):
     the price of a slightly looser restart cadence (period in
     [restart_period, 2*restart_period) after an element's first restart).
     """
+    # Per-element budget gate: elements whose j already reached the budget
+    # hold their state (matching element mode's per-element cap) instead of
+    # overshooting while slower elements catch up.
     step = jax.vmap(
-        lambda s, p: make_body(p, cfg, include_restart=False)(s)
+        lambda s, p: jax.lax.cond(
+            s.j < j_budget,
+            make_body(p, cfg, include_restart=False),
+            lambda x: x,
+            s,
+        )
     )
     restart = jax.vmap(lambda s, p: restart_check_gated(p, cfg, s))
 

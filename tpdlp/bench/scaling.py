@@ -97,9 +97,10 @@ def run_scaling(m, n, iters, mesh_sizes=(1, 2, 4, 8), dtype_name="float32"):
             .compile()
             .as_text()
         )
-        n_allreduce = len(re.findall(r"\ball-reduce(?:-start)?\(", hlo)) + len(
-            re.findall(r"\ball-reduce(?:-start)?\.", hlo)
-        )
+        # Count only DEFINING instructions: the opcode is immediately
+        # followed by "(" ("... = <type> all-reduce(...)"); operand
+        # references ("%all-reduce.5") never are.
+        n_allreduce = len(re.findall(r"\ball-reduce(?:-start)?\(", hlo))
         rows.append({
             "devices": nd,
             "mesh": dict(mesh.shape) if mesh else {"row": 1, "col": 1},

@@ -56,7 +56,7 @@ def _ell_matvec(tiles, col_idx, x_blk, *, interpret=False):
     mb, W, _, _ = tiles.shape
     assert mb % G == 0, mb
     vmem = pl.ANY if interpret else pltpu.VMEM
-    smem = pltpu.ANY if interpret else pltpu.SMEM
+    smem = pl.ANY if interpret else pltpu.SMEM
     # Scoped x64-off: with jax_enable_x64 on (the package default), index-map
     # literals trace as i64 while program ids are i32, and Mosaic fails to
     # legalize the mixed-type index transform ("failed to legalize

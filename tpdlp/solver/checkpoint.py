@@ -43,9 +43,23 @@ def load_state(path, dtype=None) -> PDHGState:
     fp32 TPU solve on an fp64 CPU host).
     """
     z = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
+    # State fields added after a checkpoint was written default to zeros of
+    # the matching space (x-like fields share x's shape, y-like y's).
+    defaults = {
+        "x_plain_sum": lambda: np.zeros_like(z["x"]),
+        "y_plain_sum": lambda: np.zeros_like(z["y"]),
+    }
     kwargs = {}
     for name in _FIELDS:
-        a = z[name]
+        if name in z.files:
+            a = z[name]
+        elif name in defaults:
+            a = defaults[name]()
+        else:
+            raise KeyError(
+                f"checkpoint {path} lacks state field {name!r} and no "
+                "default is known — re-solve from scratch"
+            )
         if dtype is not None and a.dtype.kind == "f":
             a = a.astype(dtype)
         kwargs[name] = jnp.asarray(a)

@@ -204,7 +204,9 @@ def _solve_escalated(problem, cfg: SolverConfig, **kw):
         return s1
     kkt_left = cfg.max_kkt - s1.kkt_passes
     if kkt_left <= 0:
-        return s1
+        # Stage 1 certified only the coarse tolerance; with no budget left
+        # for the fp64 tail the requested cfg.tol was NOT certified.
+        return dataclasses.replace(s1, status=Status.KKT_LIMIT)
     kw2 = dict(kw)
     kw2["time_used"] = s1.solve_time  # already includes incoming time_used
     s2 = solve(
@@ -519,7 +521,10 @@ def solve(
         bundle = jax.device_get(_result_bundle(pb, st))
     (_, st_v, x_np, y_np, obj_v, k_v, n_v, rp_v, rd_v, gap_v) = bundle
     j_v = bundle[0]
-    if status != Status.TIME_LIMIT:
+    # The device state is authoritative when terminal: an in-flight chunk
+    # may have reached SOLVED (or a certificate) just as the host clock
+    # expired — report that, not TIME_LIMIT.
+    if int(st_v) != int(Status.RUNNING):
         status = Status(int(st_v))
     x_out = np.asarray(x_np)[:n_orig]
     y_out = np.asarray(y_np)[: problem.m]
