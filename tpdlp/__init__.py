@@ -60,7 +60,7 @@ from tpdlp.io.generator import (
     generate_unbounded_lp,
 )
 from tpdlp.io.writer import write_mps
-from tpdlp.timer import Timer
+from tpdlp.timer import Timer, profile_trace
 
 __version__ = "0.1.0"
 
@@ -77,4 +77,5 @@ __all__ = [
     "generate_infeasible_lp",
     "generate_unbounded_lp",
     "Timer",
+    "profile_trace",
 ]

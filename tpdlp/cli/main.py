@@ -58,6 +58,9 @@ def parse_args(argv=None):
     p.add_argument("--compat_fr_zero", action="store_true",
                    help="Reproduce the reference's FR-bound quirk "
                         "(lo=0 instead of -inf, PDLP/util.py:162-164)")
+    p.add_argument("--batch_solve", action="store_true",
+                   help="solve the whole folder as one vmapped fleet "
+                        "(same-device batch; ragged shapes padded)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -147,6 +150,42 @@ def main(argv=None):
         "Time (s)": "N/A",
         "Status": msg if len(msg) <= 60 else msg[:57] + "...",
     }
+
+    if args.batch_solve and (args.fishnet or args.presolve != "off" or mesh):
+        print("--batch_solve does not compose with --fishnet/--presolve/"
+              "--mesh; falling back to the sequential sweep.")
+        args.batch_solve = False
+    if args.batch_solve and len(mps_files) > 1:
+        # Fleet mode: solve the whole folder as one vmapped device program
+        # (ragged shapes padded exactness-preserving).  Per-file load
+        # failures are reported per row; the batch solves the rest.
+        from tpdlp.batch.vmapped import solve_batch
+
+        loaded = []
+        for path in mps_files:
+            name = os.path.basename(path)
+            try:
+                loaded.append(
+                    (name, read_mps(path, compat_fr_zero=args.compat_fr_zero))
+                )
+            except Exception as e:
+                print(f"Failed to load MPS file: {path}. Error: {e}")
+                results.append(failed_row(name, f"Failed to load: {e}"))
+        if loaded:
+            print(f"\nBatch-solving {len(loaded)} instances (vmap)...")
+            try:
+                batch = solve_batch(
+                    [p for _, p in loaded], cfg, dtype=dtype,
+                    seed=args.seed, restart_sync="global",
+                )
+                for (name, _), r in zip(loaded, batch):
+                    results.append(r.csv_row(name))
+                    print(f"{name}: {r.status_string}")
+            except Exception as e:
+                print(f"Batch solve failed: {e}")
+                for name, _ in loaded:
+                    results.append(failed_row(name, f"Batch failed: {e}"))
+        mps_files = []
 
     for path in mps_files:
         name = os.path.basename(path)

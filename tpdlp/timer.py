@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import time
 
 
@@ -27,3 +28,23 @@ class Timer:
         if not self.quiet:
             print(f"{self.label}: {self.elapsed:.6f} seconds")
         return False
+
+
+@_contextlib.contextmanager
+def profile_trace(log_dir):
+    """Capture a jax.profiler trace of the enclosed region.
+
+    The reference's only instrument is the wall-clock Timer plus the
+    KKT-pass ledger (SURVEY.md section 5); on TPU the real profiling tool is
+    an XLA trace.  View with TensorBoard/XProf:
+
+        with tpdlp.profile_trace("/tmp/tpdlp-trace"):
+            tpdlp.solve(problem, cfg)
+    """
+    import jax
+
+    jax.profiler.start_trace(str(log_dir))
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
