@@ -128,7 +128,7 @@ class SolverConfig:
 
     # Host/device chunking: number of KKT passes per device dispatch before
     # the host checks wall-clock time and terminal status.
-    chunk_kkt_init: int = 250
+    chunk_kkt_init: int = 500
     chunk_kkt_max: int = 8000
     #: Dispatch the next chunk before the previous chunk's status probe is
     #: fetched (exact: the loop body no-ops on terminal states).  Hides the

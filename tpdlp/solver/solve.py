@@ -142,6 +142,26 @@ def _prepare_warm(op, c, q, l, u, ineq_mask, key, x0, y0, cfg: SolverConfig):
     return _prepare_impl(op, c, q, l, u, ineq_mask, key, x0, y0, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _prepare_run(op, c, q, l, u, ineq_mask, key, budget, cfg: SolverConfig):
+    """Preprocessing + the first iteration chunk, fused into ONE dispatch —
+    a small LP then completes in a single host round trip."""
+    from tpdlp.solver.loop import run_chunk_impl
+
+    pb, st = _prepare_impl(op, c, q, l, u, ineq_mask, key, None, None, cfg)
+    return pb, run_chunk_impl(st, pb, budget, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _prepare_warm_run(
+    op, c, q, l, u, ineq_mask, key, x0, y0, budget, cfg: SolverConfig
+):
+    from tpdlp.solver.loop import run_chunk_impl
+
+    pb, st = _prepare_impl(op, c, q, l, u, ineq_mask, key, x0, y0, cfg)
+    return pb, run_chunk_impl(st, pb, budget, cfg)
+
+
 @jax.jit
 def _extract(pb, st):
     """Unscaled solution + objective in one dispatch (reference :158-161)."""
@@ -381,26 +401,65 @@ def solve(
         l, u = jnp.asarray(l_p), jnp.asarray(u_p)
 
     key = jax.random.PRNGKey(seed)
+    import os
+
     mask_j = jnp.asarray(mask)
-    if x0 is None and y0 is None:
-        pb, st = _prepare(op, c, q, l, u, mask_j, key, cfg)
-    else:
+    will_resume = bool(
+        resume
+        and checkpoint_path
+        and os.path.exists(
+            str(checkpoint_path)
+            if str(checkpoint_path).endswith(".npz")
+            else str(checkpoint_path) + ".npz"
+        )
+    )
+
+    # ---- chunked device loop with host-side wall-clock enforcement ----
+    # Latency model (remote-tunnel TPU): every host-blocking fetch costs a
+    # fixed ~30 ms round trip regardless of payload size, while dispatch is
+    # asynchronous and ~0.2 ms.  Four measures let a small solve complete
+    # in ONE host round trip:
+    #   1. preprocessing and the first iteration chunk are fused into a
+    #      single dispatch (resume and mesh placement are the exceptions);
+    #   2. a freshly initialised state is (j=0, RUNNING) by construction,
+    #      so no initial probe is fetched;
+    #   3. the next chunk is dispatched *before* the previous chunk's probe
+    #      is fetched — speculation is exact, because the loop body no-ops
+    #      on terminal status, so a speculated chunk on a finished state
+    #      returns it unchanged;
+    #   4. for small problems the probe IS the full result bundle
+    #      (solution, objective, counters): the transfer is
+    #      latency-dominated either way, and termination then costs no
+    #      extra fetch.
+    chunk = cfg.chunk_kkt_init
+    planned = 0
+    pending = []  # dispatched-but-unprobed chunk states, oldest first
+    fuse_first = mesh is None and not will_resume
+    if x0 is not None or y0 is not None:
         x0j = jnp.asarray(
             x0 if x0 is not None else np.zeros(op.shape[1]), dtype
         )
         y0j = jnp.asarray(
             y0 if y0 is not None else np.zeros(op.shape[0]), dtype
         )
+    if fuse_first:
+        planned = min(cfg.max_kkt, chunk)
+        chunk = min(chunk * 2, cfg.chunk_kkt_max)
+        budget0 = jnp.int32(planned)
+        if x0 is None and y0 is None:
+            pb, st = _prepare_run(op, c, q, l, u, mask_j, key, budget0, cfg)
+        else:
+            pb, st = _prepare_warm_run(
+                op, c, q, l, u, mask_j, key, x0j, y0j, budget0, cfg
+            )
+        pending.append(st)
+    elif x0 is None and y0 is None:
+        pb, st = _prepare(op, c, q, l, u, mask_j, key, cfg)
+    else:
         pb, st = _prepare_warm(op, c, q, l, u, mask_j, key, x0j, y0j, cfg)
 
-    import os
-
     resumed = False
-    if resume and checkpoint_path and os.path.exists(
-        str(checkpoint_path)
-        if str(checkpoint_path).endswith(".npz")
-        else str(checkpoint_path) + ".npz"
-    ):
+    if will_resume:
         from tpdlp.solver.checkpoint import load_state
 
         st = load_state(checkpoint_path, dtype=dtype)
@@ -409,22 +468,6 @@ def solve(
         pb = shard_device_problem(pb, mesh)
         st = shard_state(st, mesh)
 
-    # ---- chunked device loop with host-side wall-clock enforcement ----
-    # Latency model (remote-tunnel TPU): every host-blocking fetch costs a
-    # fixed ~30 ms round trip regardless of payload size, while dispatch is
-    # asynchronous and ~0.2 ms.  Three measures keep a small solve at ~2
-    # round trips total:
-    #   1. a freshly initialised state is (j=0, RUNNING) by construction,
-    #      so no initial probe is fetched (resume is the exception);
-    #   2. the next chunk is dispatched *before* the previous chunk's probe
-    #      is fetched — speculation is exact, because the loop body no-ops
-    #      on terminal status, so a speculated chunk on a finished state
-    #      returns it unchanged;
-    #   3. for small problems the probe IS the full result bundle
-    #      (solution, objective, counters): the transfer is
-    #      latency-dominated either way, and termination then costs no
-    #      extra fetch.
-    chunk = cfg.chunk_kkt_init
     timed_out = False
     history = [] if log_history else None
     slow_path = checkpoint_path is not None or history is not None or cfg.verbose
@@ -438,11 +481,10 @@ def solve(
         j_done, status_now = (
             int(v) for v in jax.device_get((st.j, st.status))
         )
+        planned = j_done
     else:
         j_done, status_now = 0, int(Status.RUNNING)
-    planned = j_done
     bundle = None  # result bundle of the last probed state, when eager
-    pending = []  # dispatched-but-unprobed chunk states, oldest first
 
     while status_now == int(Status.RUNNING) and j_done < cfg.max_kkt:
         if time.perf_counter() - start + time_used >= cfg.time_limit:
