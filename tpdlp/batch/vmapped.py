@@ -44,23 +44,49 @@ from tpdlp.solver.state import init_state
 
 
 def _pad_stack(problems: Sequence[LPProblem], dtype):
+    """Stack padded problem data; K is densified ON DEVICE from COO
+    triplets when sparse enough (shipping 16 bytes/nnz instead of the
+    (B, m, n) dense stack — a 100x+ transfer saving on remote backends)."""
+    import scipy.sparse as sp
+
     m_max = max(p.m for p in problems)
     n_max = max(p.n for p in problems)
     B = len(problems)
-    K = np.zeros((B, m_max, n_max), dtype)
     c = np.zeros((B, n_max), dtype)
     q = np.zeros((B, m_max), dtype)
     l = np.zeros((B, n_max), dtype)  # padded vars fixed at 0
     u = np.zeros((B, n_max), dtype)
     mask = np.ones((B, m_max), dtype=bool)  # padded rows: inequality
+    coos = []
     for i, p in enumerate(problems):
-        Kd = p.K.toarray() if hasattr(p.K, "toarray") else np.asarray(p.K)
-        K[i, : p.m, : p.n] = Kd
+        coos.append(
+            p.K.tocoo() if sp.issparse(p.K) else sp.coo_matrix(p.K)
+        )
         c[i, : p.n] = p.c
         q[i, : p.m] = p.q
         l[i, : p.n] = p.l
         u[i, : p.n] = p.u
         mask[i, : p.m] = np.arange(p.m) < p.m_ineq
+
+    itemsize = jnp.dtype(dtype).itemsize
+    nnz_total = sum(co.nnz for co in coos)
+    if nnz_total * 16 < B * m_max * n_max * itemsize // 2:
+        b_idx = np.concatenate(
+            [np.full(co.nnz, i, np.int32) for i, co in enumerate(coos)]
+        )
+        rows = np.concatenate([co.row for co in coos]).astype(np.int32)
+        cols = np.concatenate([co.col for co in coos]).astype(np.int32)
+        vals = np.concatenate([co.data for co in coos]).astype(dtype)
+        K = (
+            jnp.zeros((B, m_max, n_max), dtype)
+            .at[jnp.asarray(b_idx), jnp.asarray(rows), jnp.asarray(cols)]
+            .add(jnp.asarray(vals))
+        )
+    else:
+        Kh = np.zeros((B, m_max, n_max), dtype)
+        for i, co in enumerate(coos):
+            Kh[i, : co.shape[0], : co.shape[1]] = co.toarray()
+        K = jnp.asarray(Kh)
     return K, c, q, l, u, mask
 
 

@@ -26,6 +26,10 @@ LARGE = [
     ("mittelmann-s", 5000, 1500, 500, 0.01),
     ("mittelmann-m", 10000, 3000, 1000, 0.004),
 ]
+XL = [
+    # zib03-direction: ~0.6 GB dense fp32 constraint matrix.
+    ("mittelmann-l", 20000, 6000, 2000, 0.002),
+]
 
 
 def build_suite(classes=("small", "medium")):
@@ -36,6 +40,8 @@ def build_suite(classes=("small", "medium")):
         spec += MEDIUM
     if "large" in classes:
         spec += LARGE
+    if "xl" in classes:
+        spec += XL
     problems = []
     for name, n, mi, me, d in spec:
         p = generate_feasible_lp(n=n, m_ineq=mi, m_eq=me, density=d, seed=7)

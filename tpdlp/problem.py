@@ -205,13 +205,29 @@ def to_device_arrays(problem: LPProblem, dtype=jnp.float32):
     """Host LPProblem -> (DenseOp, c, q, l, u) device arrays.
 
     The single host->device transfer of a solve (reference analog:
-    PDLP/util.py:240-246).  Sparse host matrices are densified here; the
-    sparse device path constructs its own operator (tpdlp.ops.sparse).
+    PDLP/util.py:240-246).  Sparse host matrices are densified ON DEVICE:
+    shipping the COO triplets (12 bytes/nnz) instead of the dense array is
+    a 100x+ transfer saving on remote-tunnel backends for the sparse
+    instances that dominate LP practice, and the device-side scatter is
+    trivial.  The sparse device path constructs its own operator
+    (tpdlp.ops.sparse).
     """
     K = problem.K
     if hasattr(K, "toarray"):
-        K = K.toarray()
-    op = DenseOp(jnp.asarray(K, dtype))
+        coo = K.tocoo()
+        m, n = coo.shape
+        dense_bytes = m * n * jnp.dtype(dtype).itemsize
+        if coo.nnz * 12 < dense_bytes // 2:
+            mat = (
+                jnp.zeros((m, n), dtype)
+                .at[jnp.asarray(coo.row), jnp.asarray(coo.col)]
+                .add(jnp.asarray(coo.data, dtype))
+            )
+            op = DenseOp(mat)
+        else:
+            op = DenseOp(jnp.asarray(K.toarray(), dtype))
+    else:
+        op = DenseOp(jnp.asarray(K, dtype))
     c = jnp.asarray(problem.c, dtype)
     q = jnp.asarray(problem.q, dtype)
     l = jnp.asarray(problem.l, dtype)
