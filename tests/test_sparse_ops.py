@@ -9,6 +9,7 @@ from tpdlp import SolverConfig, Status, generate_feasible_lp, solve
 from tpdlp.ops.dense import DenseOp
 from tpdlp.ops.sparse import SparseOp
 from tests.oracles import solve_oracle
+from tpdlp.problem import LPProblem
 
 
 @pytest.fixture
@@ -86,3 +87,34 @@ def test_sparse_equals_dense_trajectory():
     assert r_d.status == r_s.status == Status.SOLVED
     np.testing.assert_allclose(r_s.objective, r_d.objective, rtol=1e-8)
     assert abs(r_s.iterations - r_d.iterations) <= 2
+
+
+def test_device_densify_matches_host_densify():
+    """COO-triplet device-side densification produces exactly the dense
+    matrix (including duplicate-entry summation)."""
+    import scipy.sparse as sp
+
+    from tpdlp.problem import to_device_arrays
+
+    rng = np.random.default_rng(3)
+    m, n = 64, 96
+    K = sp.random(m, n, density=0.05, random_state=7, format="coo")
+    # Inject duplicate coordinates (must sum, standard COO semantics).
+    K = sp.coo_matrix(
+        (
+            np.concatenate([K.data, [1.5, -2.0]]),
+            (
+                np.concatenate([K.row, [3, 3]]),
+                np.concatenate([K.col, [5, 5]]),
+            ),
+        ),
+        shape=(m, n),
+    )
+    p = LPProblem(
+        c=rng.standard_normal(n), K=K.tocsr(), q=rng.standard_normal(m),
+        m_ineq=m // 2, l=np.zeros(n), u=np.full(n, np.inf), name="t",
+    )
+    op, *_ = to_device_arrays(p, jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(op.mat), K.toarray(), rtol=0, atol=0
+    )
