@@ -140,3 +140,38 @@ def test_escalation_budget_exhausted_reports_kkt_limit():
         log_history=False,
     )
     assert r.status == Status.KKT_LIMIT
+
+
+@pytest.mark.parametrize("seed", [1, 4, 9])
+def test_halpern_scheme_solves_and_accelerates(seed):
+    """The reflected-Halpern scheme (cuPDLP+ style) reaches the same
+    objective as vanilla restarted PDHG; across seeds it should not need
+    more iterations (typically ~2x fewer)."""
+    from tests.oracles import solve_oracle
+
+    problem = generate_feasible_lp(n=60, m_ineq=35, m_eq=12, seed=seed)
+    base = dict(tol=1e-7, scaling="ruiz", primal_weight_update=True)
+    rv = solve(problem, SolverConfig(step_scheme="vanilla", **base))
+    rh = solve(problem, SolverConfig(step_scheme="halpern", **base))
+    oracle = solve_oracle(problem)
+    assert rh.status == Status.SOLVED, rh.status_string
+    assert rh.objective == pytest.approx(oracle.fun, abs=1e-4)
+    assert rv.status == Status.SOLVED
+    # Feasibility of the reported point (the carried z is unprojected;
+    # the result must come from the feasible PDHG output).
+    assert np.all(rh.x >= problem.l - 1e-7)
+    assert np.all(rh.x <= problem.u + 1e-7)
+    assert rh.iterations <= rv.iterations * 1.2  # no blow-up; usually less
+
+
+def test_halpern_infeasible_certificates():
+    from tpdlp import generate_infeasible_lp
+
+    pi = generate_infeasible_lp(seed=2)
+    r = solve(
+        pi,
+        SolverConfig(
+            tol=1e-6, step_scheme="halpern", infeasibility_detect=True
+        ),
+    )
+    assert r.status in (Status.PRIMAL_INFEASIBLE, Status.DUAL_INFEASIBLE)

@@ -265,7 +265,11 @@ def solve_batch(
     # round trips on a remote-tunnel backend).
     (x_all, y_all, c0_all, status_a, k_a, n_a, j_a, rp_a, rd_a, gap_a) = (
         jax.device_get((
-            pbs.d_col * sts.x, pbs.d_row * sts.y, pbs.c0,
+            pbs.d_col
+            * (sts.x_prev if cfg.step_scheme == "halpern" else sts.x),
+            pbs.d_row
+            * (sts.y_prev if cfg.step_scheme == "halpern" else sts.y),
+            pbs.c0,
             sts.status, sts.k, sts.n_restarts, sts.j,
             sts.primal_res, sts.dual_res, sts.gap,
         ))

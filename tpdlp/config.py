@@ -70,6 +70,17 @@ class SolverConfig:
     beta_necessary: float = 0.8
     beta_artificial: float = 0.36
 
+    #: Iteration scheme. "vanilla" is the reference's restarted PDHG.
+    #: "halpern" is reflected PDHG with Halpern anchoring (the cuPDLP+
+    #: r2HPDHG scheme): z_{t+1} = (t+1)/(t+2) (2 T(z_t) - z_t)
+    #: + 1/(t+2) z_anchor, anchor reset at restarts.  The anchored iterate
+    #: may leave the feasible box/cone; all candidates, certificates and
+    #: termination are evaluated at the feasible PDHG output T(z_t), so
+    #: soundness is unchanged — typically converges in ~2x fewer
+    #: iterations.  Costs the same one SpMV pair per iteration (anchor
+    #: products are carried; the combination is linear).
+    step_scheme: str = "vanilla"
+
     # Step sizes.
     adaptive: bool = False
     #: "reference": exactly the reference's rule — take the step regardless,

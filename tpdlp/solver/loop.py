@@ -135,17 +135,116 @@ def _restart_check(pb, cfg: SolverConfig, st: PDHGState) -> PDHGState:
     return jax.lax.cond(do_restart, restart, lambda s: s, st)
 
 
+def _restart_check_halpern(pb, cfg: SolverConfig, st: PDHGState) -> PDHGState:
+    """Restart evaluation for the Halpern scheme.
+
+    The carried z iterate may be infeasible (the anchored combination is
+    not projected), so the candidates are the last feasible PDHG output
+    (held in the *_prev slots) and the running average of feasible outputs.
+    The 'necessary' criterion (needs a previous candidate's KKT) is
+    dropped; sufficient + artificial restarts remain.  On restart the
+    anchor, the z iterate and the feasible-output slots all reset to the
+    chosen candidate.
+    """
+    dtype = st.x.dtype
+    x_f, y_f = st.x_prev, st.y_prev
+    kx_f, kty_f = st.kx_prev, st.kty_prev
+    x_avg = st.x_sum / st.eta_sum
+    y_avg = st.y_sum / st.eta_sum
+    kx_avg = pb.op.mv(x_avg)
+    kty_avg = pb.op.rmv(y_avg)
+
+    res_f = R.residuals_scaled(pb, x_f, y_f, kx_f, kty_f)
+    res_avg = R.residuals_scaled(pb, x_avg, y_avg, kx_avg, kty_avg)
+    kkt_f = R.kkt_error(res_f, st.omega)
+    kkt_avg = R.kkt_error(res_avg, st.omega)
+    st = st.replace(j=st.j + 2)
+
+    kkt_min = jnp.minimum(kkt_f, kkt_avg)
+    use_avg = kkt_f >= kkt_avg
+    sufficient = kkt_min <= cfg.beta_sufficient * st.kkt_first
+    artificial = st.t.astype(dtype) >= cfg.beta_artificial * st.k.astype(dtype)
+    do_restart = sufficient | artificial
+
+    def restart(st: PDHGState) -> PDHGState:
+        sel = lambda a, b: jnp.where(use_avg, a, b)
+        x_r = sel(x_avg, x_f)
+        y_r = sel(y_avg, y_f)
+        kx_r = sel(kx_avg, kx_f)
+        kty_r = sel(kty_avg, kty_f)
+        res_r = jax.tree.map(sel, res_avg, res_f)
+
+        omega_new = (
+            primal_weight_update(
+                st.x_restart, x_r, st.y_restart, y_r, st.omega,
+                cfg.theta_smooth,
+            )
+            if cfg.primal_weight_update
+            else st.omega
+        )
+        kkt_first_new = R.kkt_error(res_r, omega_new)
+        res_term = R.residuals_unscaled(pb, x_r, y_r, kx_r, kty_r)
+        solved = R.check_termination(
+            res_term,
+            pb.q_norm_term,
+            pb.c_norm_term,
+            cfg.tol,
+            abs_gap=cfg.abs_gap_termination,
+        )
+        status_new = jnp.where(solved, jnp.int32(Status.SOLVED), st.status)
+        zeros_like = jnp.zeros_like
+        return st.replace(
+            x=x_r,
+            y=y_r,
+            kx=kx_r,
+            kty=kty_r,
+            x_prev=x_r,
+            y_prev=y_r,
+            kx_prev=kx_r,
+            kty_prev=kty_r,
+            x_sum=zeros_like(st.x_sum),
+            y_sum=zeros_like(st.y_sum),
+            eta_sum=jnp.zeros_like(st.eta_sum),
+            x_restart=x_r,
+            y_restart=y_r,
+            kx_restart=kx_r,
+            kty_restart=kty_r,
+            t=jnp.zeros_like(st.t),
+            n_restarts=st.n_restarts + 1,
+            omega=omega_new,
+            kkt_first=kkt_first_new,
+            j=st.j + 2,
+            status=status_new,
+            prim_obj=res_term.prim_obj,
+            adjusted_dual=res_term.adjusted_dual,
+            primal_res=res_term.primal_res,
+            dual_res=res_term.dual_res,
+            gap=res_term.gap,
+        )
+
+    return jax.lax.cond(do_restart, restart, lambda s: s, st)
+
+
+def _restart_for(cfg: SolverConfig):
+    return (
+        _restart_check_halpern
+        if cfg.step_scheme == "halpern"
+        else _restart_check
+    )
+
+
 def restart_check_gated(pb, cfg: SolverConfig, st: PDHGState) -> PDHGState:
     """Restart check under the lockstep (global-period) schedule: fire when
     at least `restart_period` iterations have run since the last restart.
     Used by the batched solver, which evaluates this at global step
     boundaries so the (expensive) check amortises across the batch instead
     of being select-executed every iteration under vmap."""
+    check = _restart_for(cfg)
     fire = (st.t >= cfg.restart_period) & (
         st.status == jnp.int32(Status.RUNNING)
     )
     return jax.lax.cond(
-        fire, lambda s: _restart_check(pb, cfg, s), lambda s: s, st
+        fire, lambda s: check(pb, cfg, s), lambda s: s, st
     )
 
 
@@ -264,9 +363,137 @@ def make_body(pb, cfg: SolverConfig, include_restart: bool = True):
             fire, lambda s: _restart_check(pb, cfg, s), lambda s: s, st3
         )
 
+    def live_body_halpern(st: PDHGState) -> PDHGState:
+        """One reflected-Halpern iteration.  The carry (x, y, kx, kty) is
+        the anchored point z_t (possibly outside the box/cone); the PDHG
+        step T(z_t) is feasible and is what certificates, averaging, and
+        restart candidates use (held in the *_prev slots)."""
+        k_new = st.k + 1
+        if cfg.adaptive:
+            result = S.adaptive_step(
+                pb, cfg, st.x, st.y, st.kx, st.kty, st.eta, st.omega, k_new
+            )
+        else:
+            result = S.fixed_step(
+                pb, cfg, st.x, st.y, st.kx, st.kty, st.eta, st.omega
+            )
+        x_f, y_f, kx_f, eta_used, eta_next, j_inc = result
+        kty_f = pb.op.rmv(y_f)
+
+        st2 = st.replace(k=k_new, j=st.j + j_inc)
+
+        if cfg.infeasibility_detect:
+
+            def check(s: PDHGState) -> PDHGState:
+                lam = R.project_lambda_box(
+                    pb.c - kty_f, pb.is_neg_inf, pb.is_pos_inf
+                )
+                cert = detect_infeasibility(
+                    pb,
+                    x_f, y_f, s.x_prev, s.y_prev,
+                    lam, s.lam_prev,
+                    kx_f - s.kx_prev,
+                    kty_f - s.kty_prev,
+                    cfg.infeas_tol,
+                )
+                status_new = jnp.where(
+                    cert != jnp.int32(Status.RUNNING), cert, s.status
+                )
+                return s.replace(lam_prev=lam, j=s.j + 1, status=status_new)
+
+            st2 = jax.lax.cond(k_new > 1, check, lambda s: s, st2)
+
+        if cfg.normalized_certificates:
+            from tpdlp.solver.infeasibility import (
+                normalized_average_certificates,
+                normalized_iterate_certificates,
+            )
+
+            cert, x_norm, y_norm = normalized_iterate_certificates(
+                x_f, y_f, st2.x_norm_prev, st2.y_norm_prev, k_new,
+                cfg.normalized_tol_conv, cfg.normalized_tol_nonzero,
+            )
+            xs = st2.x_plain_sum + x_f
+            ys = st2.y_plain_sum + y_f
+            cert_avg = normalized_average_certificates(
+                xs, ys, x_f, y_f, k_new,
+                cfg.normalized_tol_conv, cfg.normalized_tol_nonzero,
+            )
+            fireable = k_new > 2
+            status_new = jnp.where(
+                (cert != jnp.int32(Status.RUNNING)) & fireable,
+                cert,
+                jnp.where(
+                    (cert_avg != jnp.int32(Status.RUNNING)) & fireable,
+                    cert_avg,
+                    st2.status,
+                ),
+            )
+            st2 = st2.replace(
+                x_norm_prev=x_norm,
+                y_norm_prev=y_norm,
+                x_plain_sum=xs,
+                y_plain_sum=ys,
+                status=status_new,
+            )
+
+        # Halpern anchored combination of the REFLECTED step (linear in the
+        # carried operator products, so no extra SpMV).
+        t_new = st.t + 1
+        tf = t_new.astype(st.x.dtype)
+        w = tf / (tf + 1.0)
+        wa = 1.0 / (tf + 1.0)
+        z_x = w * (2.0 * x_f - st.x) + wa * st.x_restart
+        z_y = w * (2.0 * y_f - st.y) + wa * st.y_restart
+        z_kx = w * (2.0 * kx_f - st.kx) + wa * st.kx_restart
+        z_kty = w * (2.0 * kty_f - st.kty) + wa * st.kty_restart
+
+        st3 = st2.replace(
+            x=z_x,
+            y=z_y,
+            kx=z_kx,
+            kty=z_kty,
+            x_prev=x_f,
+            y_prev=y_f,
+            kx_prev=kx_f,
+            kty_prev=kty_f,
+            t=t_new,
+            x_sum=st2.x_sum + eta_used * x_f,
+            y_sum=st2.y_sum + eta_used * y_f,
+            eta_sum=st2.eta_sum + eta_used,
+            eta=eta_next,
+        )
+
+        if not include_restart:
+            return st3
+        fire = (
+            (st3.t % cfg.restart_period == 0)
+            & (st3.status == jnp.int32(Status.RUNNING))
+        )
+        return jax.lax.cond(
+            fire,
+            lambda s: _restart_check_halpern(pb, cfg, s),
+            lambda s: s,
+            st3,
+        )
+
+    if cfg.step_scheme == "halpern":
+        if cfg.adaptive:
+            raise ValueError(
+                "step_scheme='halpern' requires adaptive=False: the "
+                "Malitsky-Pock stepsize rule is incompatible with the "
+                "anchored reflected iteration (it stalls); the scheme is "
+                "designed for the fixed eta = 0.9/||K|| step"
+            )
+        live = live_body_halpern
+    elif cfg.step_scheme == "vanilla":
+        live = live_body
+    else:
+        raise ValueError(f"unknown step_scheme: {cfg.step_scheme!r}")
+
     def body(st: PDHGState) -> PDHGState:
         return jax.lax.cond(
-            st.status == jnp.int32(Status.RUNNING), live_body, lambda s: s, st
+            st.status == jnp.int32(Status.RUNNING), live, lambda s: s, st
         )
 
     return body
@@ -295,8 +522,15 @@ def final_eval(st: PDHGState, pb, cfg: SolverConfig) -> PDHGState:
     """The reference's outer-loop tail on the KKT-budget-exhausted path
     (primal_dual_hybrid_gradient.py:148-177 after an inner exit with
     j >= max_kkt): one last unscaled residual evaluation decides Solved vs
-    'KKT passes limit exceeded'; n and j advance as in the reference."""
-    res_term = R.residuals_unscaled(pb, st.x, st.y, st.kx, st.kty)
+    'KKT passes limit exceeded'; n and j advance as in the reference.
+    In the Halpern scheme the carried z may be infeasible, so the last
+    feasible PDHG output (the *_prev slots) is evaluated instead."""
+    if cfg.step_scheme == "halpern":
+        res_term = R.residuals_unscaled(
+            pb, st.x_prev, st.y_prev, st.kx_prev, st.kty_prev
+        )
+    else:
+        res_term = R.residuals_unscaled(pb, st.x, st.y, st.kx, st.kty)
     solved = R.check_termination(
         res_term,
         pb.q_norm_term,

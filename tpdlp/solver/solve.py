@@ -162,18 +162,24 @@ def _prepare_warm_run(
     return pb, run_chunk_impl(st, pb, budget, cfg)
 
 
-@jax.jit
-def _extract(pb, st):
-    """Unscaled solution + objective in one dispatch (reference :158-161)."""
-    x = pb.d_col * st.x
-    y = pb.d_row * st.y
+@functools.partial(jax.jit, static_argnames=("use_prev",))
+def _extract(pb, st, use_prev: bool = False):
+    """Unscaled solution + objective in one dispatch (reference :158-161).
+
+    `use_prev` (Halpern scheme): report the last feasible PDHG output
+    (*_prev slots) — the carried z iterate may violate the box/cone.
+    """
+    x_s = st.x_prev if use_prev else st.x
+    y_s = st.y_prev if use_prev else st.y
+    x = pb.d_col * x_s
+    y = pb.d_row * y_s
     return x, y, jnp.dot(pb.c0, x)
 
 
-def _result_bundle(pb, st):
+def _result_bundle(pb, st, use_prev: bool = False):
     """Everything the host needs from a finished solve, as one pytree (so it
     moves device->host in a single batched transfer)."""
-    x, y, obj = _extract(pb, st)
+    x, y, obj = _extract(pb, st, use_prev)
     return (
         st.j, st.status, x, y, obj, st.k, st.n_restarts,
         st.primal_res, st.dual_res, st.gap,
@@ -476,6 +482,7 @@ def solve(
         and op.shape[0] + op.shape[1] <= cfg.eager_fetch_max
     )
     depth = 2 if (cfg.host_speculation and not slow_path) else 1
+    use_prev = cfg.step_scheme == "halpern"
 
     if resumed:
         j_done, status_now = (
@@ -499,7 +506,9 @@ def solve(
             break
         st_probed = pending.pop(0)
         if eager:
-            bundle = jax.device_get(_result_bundle(pb, st_probed))
+            bundle = jax.device_get(
+                _result_bundle(pb, st_probed, use_prev)
+            )
             j_done, status_now = int(bundle[0]), int(bundle[1])
         elif slow_path:
             if checkpoint_path is not None:
@@ -560,7 +569,7 @@ def solve(
     # and drop mesh padding.  One batched transfer for the whole result
     # (or zero, when the eager probe already carried it).
     if fetch_final:
-        bundle = jax.device_get(_result_bundle(pb, st))
+        bundle = jax.device_get(_result_bundle(pb, st, use_prev))
     (_, st_v, x_np, y_np, obj_v, k_v, n_v, rp_v, rd_v, gap_v) = bundle
     j_v = bundle[0]
     # The device state is authoritative when terminal: an in-flight chunk

@@ -49,8 +49,12 @@ class PDHGState:
     y_sum: jax.Array
     eta_sum: jax.Array  # scalar
     # Last restart point, for the primal-weight update (:63-64,150-151).
+    # In the Halpern scheme this doubles as the anchor z0, so its operator
+    # products are carried too (loop-invariant/hoisted in vanilla mode).
     x_restart: jax.Array
     y_restart: jax.Array
+    kx_restart: jax.Array
+    kty_restart: jax.Array
     # Step sizes.
     eta: jax.Array  # scalar — stepsize for the *next* step
     omega: jax.Array  # scalar — primal weight
@@ -101,6 +105,8 @@ def init_state(pb, eta0, omega0, x0=None, y0=None) -> PDHGState:
         eta_sum=zero,
         x_restart=x,
         y_restart=y,
+        kx_restart=kx,
+        kty_restart=kty,
         eta=jnp.asarray(eta0, dtype),
         omega=jnp.asarray(omega0, dtype),
         # KKT_first starts at 0: the artificial criterion always fires the
