@@ -58,6 +58,11 @@ def parse_args(argv=None):
     p.add_argument("--compat_fr_zero", action="store_true",
                    help="Reproduce the reference's FR-bound quirk "
                         "(lo=0 instead of -inf, PDLP/util.py:162-164)")
+    p.add_argument("--step_scheme", type=str, default="vanilla",
+                   choices=["vanilla", "halpern"],
+                   help="iteration scheme: the reference's restarted PDHG, "
+                        "or Halpern-anchored reflected PDHG (~2x fewer "
+                        "iterations at tight tolerances; fixed steps only)")
     p.add_argument("--batch_solve", action="store_true",
                    help="solve the whole folder as one vmapped fleet "
                         "(same-device batch; ragged shapes padded)")
@@ -97,6 +102,7 @@ def main(argv=None):
         primal_weight_update=args.primal_weight_update,
         infeasibility_detect=args.infeasibility_detect,
         infeas_tol=args.infeas_tol,
+        step_scheme=args.step_scheme,
         verbose=args.verbose,
     )
 
