@@ -261,9 +261,8 @@ def make_body(pb, cfg: SolverConfig, include_restart: bool = True):
     restart work every iteration for every element).
     """
 
-    def live_body(st: PDHGState) -> PDHGState:
-        k_new = st.k + 1
-
+    def take_step(st: PDHGState, k_new):
+        """Dispatch the configured step; returns the feasible PDHG output."""
         if cfg.adaptive:
             result = S.adaptive_step(
                 pb, cfg, st.x, st.y, st.kx, st.kty, st.eta, st.omega, k_new
@@ -272,22 +271,16 @@ def make_body(pb, cfg: SolverConfig, include_restart: bool = True):
             result = S.fixed_step(
                 pb, cfg, st.x, st.y, st.kx, st.kty, st.eta, st.omega
             )
-        x_new, y_new, kx_new, eta_used, eta_next, j_inc = result
-        kty_new = pb.op.rmv(y_new)
+        return result, pb.op.rmv(result.y)
 
-        st2 = st.replace(
-            x=x_new,
-            y=y_new,
-            kx=kx_new,
-            kty=kty_new,
-            x_prev=st.x,
-            y_prev=st.y,
-            kx_prev=st.kx,
-            kty_prev=st.kty,
-            k=k_new,
-            j=st.j + j_inc,
-        )
-
+    def apply_certificates(
+        st2, k_new, x_new, y_new, kx_new, kty_new,
+        x_old, y_old, kx_old, kty_old,
+    ):
+        """Both certificate families on a feasible iterate pair: ray-based
+        on the (new, old) diffs, plus the normalized-iterate/average
+        families.  Shared by the vanilla and Halpern bodies (which differ
+        only in WHICH pair is feasible)."""
         if cfg.infeasibility_detect:
 
             def check(s: PDHGState) -> PDHGState:
@@ -296,10 +289,10 @@ def make_body(pb, cfg: SolverConfig, include_restart: bool = True):
                 )
                 cert = detect_infeasibility(
                     pb,
-                    x_new, y_new, st.x, st.y,
+                    x_new, y_new, x_old, y_old,
                     lam, s.lam_prev,
-                    kx_new - st.kx,
-                    kty_new - st.kty,
+                    kx_new - kx_old,
+                    kty_new - kty_old,
                     cfg.infeas_tol,
                 )
                 status_new = jnp.where(
@@ -343,6 +336,29 @@ def make_body(pb, cfg: SolverConfig, include_restart: bool = True):
                 y_plain_sum=ys,
                 status=status_new,
             )
+        return st2
+
+    def live_body(st: PDHGState) -> PDHGState:
+        k_new = st.k + 1
+        result, kty_new = take_step(st, k_new)
+        x_new, y_new, kx_new, eta_used, eta_next, j_inc = result
+
+        st2 = st.replace(
+            x=x_new,
+            y=y_new,
+            kx=kx_new,
+            kty=kty_new,
+            x_prev=st.x,
+            y_prev=st.y,
+            kx_prev=st.kx,
+            kty_prev=st.kty,
+            k=k_new,
+            j=st.j + j_inc,
+        )
+        st2 = apply_certificates(
+            st2, k_new, x_new, y_new, kx_new, kty_new,
+            st.x, st.y, st.kx, st.kty,
+        )
 
         # Averaging accumulation (:107-112), then the periodic restart check.
         st3 = st2.replace(
@@ -369,73 +385,14 @@ def make_body(pb, cfg: SolverConfig, include_restart: bool = True):
         step T(z_t) is feasible and is what certificates, averaging, and
         restart candidates use (held in the *_prev slots)."""
         k_new = st.k + 1
-        if cfg.adaptive:
-            result = S.adaptive_step(
-                pb, cfg, st.x, st.y, st.kx, st.kty, st.eta, st.omega, k_new
-            )
-        else:
-            result = S.fixed_step(
-                pb, cfg, st.x, st.y, st.kx, st.kty, st.eta, st.omega
-            )
+        result, kty_f = take_step(st, k_new)
         x_f, y_f, kx_f, eta_used, eta_next, j_inc = result
-        kty_f = pb.op.rmv(y_f)
 
         st2 = st.replace(k=k_new, j=st.j + j_inc)
-
-        if cfg.infeasibility_detect:
-
-            def check(s: PDHGState) -> PDHGState:
-                lam = R.project_lambda_box(
-                    pb.c - kty_f, pb.is_neg_inf, pb.is_pos_inf
-                )
-                cert = detect_infeasibility(
-                    pb,
-                    x_f, y_f, s.x_prev, s.y_prev,
-                    lam, s.lam_prev,
-                    kx_f - s.kx_prev,
-                    kty_f - s.kty_prev,
-                    cfg.infeas_tol,
-                )
-                status_new = jnp.where(
-                    cert != jnp.int32(Status.RUNNING), cert, s.status
-                )
-                return s.replace(lam_prev=lam, j=s.j + 1, status=status_new)
-
-            st2 = jax.lax.cond(k_new > 1, check, lambda s: s, st2)
-
-        if cfg.normalized_certificates:
-            from tpdlp.solver.infeasibility import (
-                normalized_average_certificates,
-                normalized_iterate_certificates,
-            )
-
-            cert, x_norm, y_norm = normalized_iterate_certificates(
-                x_f, y_f, st2.x_norm_prev, st2.y_norm_prev, k_new,
-                cfg.normalized_tol_conv, cfg.normalized_tol_nonzero,
-            )
-            xs = st2.x_plain_sum + x_f
-            ys = st2.y_plain_sum + y_f
-            cert_avg = normalized_average_certificates(
-                xs, ys, x_f, y_f, k_new,
-                cfg.normalized_tol_conv, cfg.normalized_tol_nonzero,
-            )
-            fireable = k_new > 2
-            status_new = jnp.where(
-                (cert != jnp.int32(Status.RUNNING)) & fireable,
-                cert,
-                jnp.where(
-                    (cert_avg != jnp.int32(Status.RUNNING)) & fireable,
-                    cert_avg,
-                    st2.status,
-                ),
-            )
-            st2 = st2.replace(
-                x_norm_prev=x_norm,
-                y_norm_prev=y_norm,
-                x_plain_sum=xs,
-                y_plain_sum=ys,
-                status=status_new,
-            )
+        st2 = apply_certificates(
+            st2, k_new, x_f, y_f, kx_f, kty_f,
+            st.x_prev, st.y_prev, st.kx_prev, st.kty_prev,
+        )
 
         # Halpern anchored combination of the REFLECTED step (linear in the
         # carried operator products, so no extra SpMV).
