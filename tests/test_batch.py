@@ -84,3 +84,32 @@ def test_batch_global_restart_sync():
 
     with pytest.raises(ValueError):
         solve_batch(problems, cfg, restart_sync="bogus")
+
+
+def test_batch_compaction_preserves_results(monkeypatch):
+    """Force the straggler-compaction path (gates patched to always fire)
+    and check every instance's objective still maps back correctly."""
+    import tpdlp.batch.vmapped as V
+
+    monkeypatch.setattr(V, "_MIN_COMPACT", 2)
+    monkeypatch.setattr(V, "_COMPACT_MIN_CHUNK_WALL", 0.0)
+
+    # Wildly different difficulty: tiny easy instances + harder ones, so
+    # the easy half finishes first and compaction triggers mid-solve.
+    problems = [
+        generate_feasible_lp(n=12, m_ineq=7, m_eq=2, seed=s)
+        for s in range(6)
+    ] + [
+        generate_feasible_lp(n=40, m_ineq=25, m_eq=8, seed=s)
+        for s in range(4)
+    ]
+    cfg = SolverConfig(
+        tol=1e-6, max_kkt=80_000, scaling="ruiz",
+        chunk_kkt_init=64, chunk_kkt_max=256,  # many chunk boundaries
+    )
+    results = solve_batch(problems, cfg, restart_sync="global")
+    for p, r in zip(problems, results):
+        o = solve_oracle(p)
+        assert r.status == Status.SOLVED, (p.name, r.status_string)
+        np.testing.assert_allclose(r.objective, o.fun, rtol=1e-3, atol=1e-3)
+        assert r.x.shape == (p.n,)

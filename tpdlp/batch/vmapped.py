@@ -197,6 +197,25 @@ def _batch_final(sts, pbs, cfg: SolverConfig):
     return jax.vmap(one)(sts, pbs)
 
 
+def _gather_results(sts, pbs, idx, cfg):
+    """Fetch result data for the given batch slots in ONE transfer."""
+    sel = jnp.asarray(np.asarray(idx, np.int32))
+    use_prev = cfg.step_scheme == "halpern"
+    x = (pbs.d_col * (sts.x_prev if use_prev else sts.x))[sel]
+    y = (pbs.d_row * (sts.y_prev if use_prev else sts.y))[sel]
+    return jax.device_get((
+        x, y, pbs.c0[sel],
+        sts.status[sel], sts.k[sel], sts.n_restarts[sel], sts.j[sel],
+        sts.primal_res[sel], sts.dual_res[sel], sts.gap[sel],
+    ))
+
+
+_MIN_COMPACT = 8  # don't compact below this batch size
+#: Only compact when the last chunk took at least this long (seconds):
+#: a compaction event costs ~100 ms of host round trips + gathers.
+_COMPACT_MIN_CHUNK_WALL = 0.5
+
+
 def solve_batch(
     problems: Sequence[LPProblem],
     config: SolverConfig = SolverConfig(),
@@ -204,6 +223,7 @@ def solve_batch(
     dtype=None,
     seed: int = 0,
     restart_sync: str = "element",
+    compact: bool = True,
 ) -> list[SolveResult]:
     """Solve a batch of LPs as one vmapped device program.
 
@@ -216,6 +236,14 @@ def solve_batch(
       per-element >= restart_period gate — same algorithm, ~2-3x higher
       fleet throughput; trajectories may differ slightly from single solves
       (looser restart cadence).
+
+    `compact` (straggler mitigation): when at least half the batch has
+    terminated at a chunk boundary, finished elements are finalized and the
+    batch is compacted to the next power of two of the running count
+    (padded with already-finished no-op elements), so the tail of a
+    high-variance fleet stops paying full-batch matmuls.  Each distinct
+    compacted size compiles its own chunk program (amortised by the
+    persistent compilation cache).
     """
     start = time.perf_counter()
     cfg = config
@@ -235,21 +263,58 @@ def solve_batch(
     )
 
     chunk = cfg.chunk_kkt_init
+    chunk_fn = (
+        _batch_chunk_sync if restart_sync == "global" else _batch_chunk
+    )
     timed_out = False
+    orig = np.arange(len(problems))  # original problem index of each slot
+    done: dict = {}  # original index -> fetched per-element result tuple
+    last_chunk_wall = 0.0
+    t_dispatch = None
     while True:
         # One batched transfer per chunk (scalar fetches cost a host round
-        # trip each on remote-tunnel TPU backends).
+        # trip each on remote-tunnel TPU backends).  The fetch blocks until
+        # the in-flight chunk finishes, so it also measures the chunk wall.
         statuses, js = jax.device_get((sts.status, sts.j))
+        if t_dispatch is not None:
+            last_chunk_wall = time.perf_counter() - t_dispatch
         running = statuses == int(Status.RUNNING)
         if not running.any() or js[running].min() >= cfg.max_kkt:
             break
         if time.perf_counter() - start >= cfg.time_limit:
             timed_out = True
             break
+
+        n_run = int(running.sum())
+        target = max(_MIN_COMPACT, 1 << max(0, (n_run - 1)).bit_length())
+        # Compaction costs ~100 ms of host round trips + gather dispatches
+        # per event; only worth it when chunks are expensive enough that
+        # halving the batch saves more than that.
+        if (
+            compact
+            and target <= len(statuses) // 2
+            and last_chunk_wall >= _COMPACT_MIN_CHUNK_WALL
+        ):
+            fin_idx = np.flatnonzero(~running)
+            new_fin = np.asarray(
+                [i for i in fin_idx if orig[i] not in done], np.int32
+            )
+            if new_fin.size:
+                vals = _gather_results(sts, pbs, new_fin, cfg)
+                for slot_pos, i in enumerate(new_fin):
+                    done[int(orig[i])] = tuple(v[slot_pos] for v in vals)
+            run_idx = np.flatnonzero(running)
+            pad = fin_idx[: target - run_idx.size]  # finished => no-op slots
+            sel = np.concatenate([run_idx, pad])
+            sel_j = jnp.asarray(sel.astype(np.int32))
+            sts = jax.tree.map(lambda a: a[sel_j], sts)
+            pbs = jax.tree.map(lambda a: a[sel_j], pbs)
+            orig = orig[sel]
+            js = js[sel]
+            running = running[sel]
+
         budget = min(cfg.max_kkt, int(js[running].min()) + chunk)
-        chunk_fn = (
-            _batch_chunk_sync if restart_sync == "global" else _batch_chunk
-        )
+        t_dispatch = time.perf_counter()
         sts = chunk_fn(sts, pbs, jnp.int32(budget), cfg)
         chunk = min(chunk * 2, cfg.chunk_kkt_max)
 
@@ -260,39 +325,36 @@ def solve_batch(
         sts = _batch_final(sts, pbs, cfg)
     elapsed = time.perf_counter() - start
 
-    # Unpack per-instance results (drop padding).  All device->host reads in
-    # ONE batched transfer (per-element scalar fetches would cost B x 6
-    # round trips on a remote-tunnel backend).
-    (x_all, y_all, c0_all, status_a, k_a, n_a, j_a, rp_a, rd_a, gap_a) = (
-        jax.device_get((
-            pbs.d_col
-            * (sts.x_prev if cfg.step_scheme == "halpern" else sts.x),
-            pbs.d_row
-            * (sts.y_prev if cfg.step_scheme == "halpern" else sts.y),
-            pbs.c0,
-            sts.status, sts.k, sts.n_restarts, sts.j,
-            sts.primal_res, sts.dual_res, sts.gap,
-        ))
+    # Finalize the remaining slots (skip pad duplicates already recorded).
+    rest = np.asarray(
+        [i for i in range(len(orig)) if int(orig[i]) not in done], np.int32
     )
+    if rest.size:
+        vals = _gather_results(sts, pbs, rest, cfg)
+        for slot_pos, i in enumerate(rest):
+            done[int(orig[i])] = tuple(v[slot_pos] for v in vals)
+
     results = []
-    for i, p in enumerate(problems):
-        status = Status(int(status_a[i]))
+    for gi, p in enumerate(problems):
+        (x_row, y_row, c0_row, status_v, k_v, n_v, j_v, rp_v, rd_v,
+         gap_v) = done[gi]
+        status = Status(int(status_v))
         if timed_out and status == Status.RUNNING:
             status = Status.TIME_LIMIT
-        x = x_all[i, : p.n]
+        x = x_row[: p.n]
         results.append(
             SolveResult(
-                x=x,
-                y=y_all[i, : p.m],
-                objective=float(c0_all[i, : p.n] @ x),
-                iterations=int(k_a[i]),
-                restarts=int(n_a[i]),
-                kkt_passes=int(j_a[i]),
+                x=np.asarray(x),
+                y=np.asarray(y_row[: p.m]),
+                objective=float(np.asarray(c0_row[: p.n]) @ x),
+                iterations=int(k_v),
+                restarts=int(n_v),
+                kkt_passes=int(j_v),
                 status=status,
                 solve_time=elapsed,
-                primal_res=float(rp_a[i]),
-                dual_res=float(rd_a[i]),
-                gap=float(gap_a[i]),
+                primal_res=float(rp_v),
+                dual_res=float(rd_v),
+                gap=float(gap_v),
             )
         )
     return results

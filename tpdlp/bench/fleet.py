@@ -54,7 +54,10 @@ def run_fleet(
     )
     dtype = jnp.float32 if dtype_name == "float32" else jnp.float64
     kw = dict(dtype=dtype, restart_sync=restart_sync)
-    rs = solve_batch(problems, cfg, **kw)  # warm (compile)
+    # Warm twice: the first call compiles; the second may still populate
+    # the persistent compilation cache / reach late chunk programs.
+    solve_batch(problems, cfg, **kw)
+    solve_batch(problems, cfg, **kw)
     t0 = time.perf_counter()
     rs = solve_batch(problems, cfg, **kw)
     wall = time.perf_counter() - t0
