@@ -60,8 +60,13 @@ def test_cli_sweep_reference_flags(mps_folder, tmp_path):
     assert rows["inst0.mps"]["Status"] == "Solved"
     assert rows["inst1.mps"]["Status"] == "Solved"
     assert "Failed to load" in rows["broken.mps"]["Status"]
+    # Objective cross-check against an in-process solve of the same file.
+    from tpdlp import SolverConfig, read_mps, solve
+
+    p0 = read_mps(str(mps_folder / "inst0.mps"))
+    r0 = solve(p0, SolverConfig(tol=1e-6, scaling="ruiz", adaptive=True))
     assert float(rows["inst0.mps"]["Objective"]) == pytest.approx(
-        float(rows["inst0.mps"]["Objective"])
+        r0.objective, abs=1e-4
     )
 
 

@@ -68,9 +68,12 @@ def _pad_stack(problems: Sequence[LPProblem], dtype):
         u[i, : p.n] = p.u
         mask[i, : p.m] = np.arange(p.m) < p.m_ineq
 
-    itemsize = jnp.dtype(dtype).itemsize
+    from tpdlp.problem import triplet_transfer_wins
+
     nnz_total = sum(co.nnz for co in coos)
-    if nnz_total * 16 < B * m_max * n_max * itemsize // 2:
+    if triplet_transfer_wins(
+        B * m_max * n_max, nnz_total, dtype, index_bytes=12
+    ):
         b_idx = np.concatenate(
             [np.full(co.nnz, i, np.int32) for i, co in enumerate(coos)]
         )
@@ -201,8 +204,9 @@ def _gather_results(sts, pbs, idx, cfg):
     """Fetch result data for the given batch slots in ONE transfer."""
     sel = jnp.asarray(np.asarray(idx, np.int32))
     use_prev = cfg.step_scheme == "halpern"
-    x = (pbs.d_col * (sts.x_prev if use_prev else sts.x))[sel]
-    y = (pbs.d_row * (sts.y_prev if use_prev else sts.y))[sel]
+    # Index first: |sel| x n work, not full-batch elementwise products.
+    x = pbs.d_col[sel] * (sts.x_prev if use_prev else sts.x)[sel]
+    y = pbs.d_row[sel] * (sts.y_prev if use_prev else sts.y)[sel]
     return jax.device_get((
         x, y, pbs.c0[sel],
         sts.status[sel], sts.k[sel], sts.n_restarts[sel], sts.j[sel],

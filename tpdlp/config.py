@@ -157,5 +157,19 @@ class SolverConfig:
 
     verbose: bool = False
 
+    def __post_init__(self):
+        _check = {
+            "step_scheme": ("vanilla", "halpern"),
+            "adaptive_rule": ("reference", "linesearch"),
+            "scaling": ("none", "ruiz", "ruiz+pc"),
+            "escalation_scheme": ("auto", "inherit"),
+        }
+        for field, allowed in _check.items():
+            v = getattr(self, field)
+            if v not in allowed:
+                raise ValueError(
+                    f"unknown {field}: {v!r} (expected one of {allowed})"
+                )
+
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

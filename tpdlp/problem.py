@@ -201,6 +201,18 @@ def device_problem(
     )
 
 
+def triplet_transfer_wins(
+    dense_elems: int, nnz: int, dtype, index_bytes: int = 8
+) -> bool:
+    """Is shipping COO triplets + on-device scatter cheaper than the dense
+    host->device transfer?  `index_bytes` covers the integer coordinates
+    per nonzero (8 = row+col int32; batched stacks add 4 for the batch
+    index).  Requires a 2x margin so the device-side scatter and the extra
+    dispatch are always amortised."""
+    itemsize = jnp.dtype(dtype).itemsize
+    return nnz * (index_bytes + itemsize) < dense_elems * itemsize // 2
+
+
 def to_device_arrays(problem: LPProblem, dtype=jnp.float32):
     """Host LPProblem -> (DenseOp, c, q, l, u) device arrays.
 
@@ -216,8 +228,7 @@ def to_device_arrays(problem: LPProblem, dtype=jnp.float32):
     if hasattr(K, "toarray"):
         coo = K.tocoo()
         m, n = coo.shape
-        dense_bytes = m * n * jnp.dtype(dtype).itemsize
-        if coo.nnz * 12 < dense_bytes // 2:
+        if triplet_transfer_wins(m * n, coo.nnz, dtype):
             mat = (
                 jnp.zeros((m, n), dtype)
                 .at[jnp.asarray(coo.row), jnp.asarray(coo.col)]

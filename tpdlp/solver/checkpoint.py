@@ -48,6 +48,11 @@ def load_state(path, dtype=None) -> PDHGState:
     defaults = {
         "x_plain_sum": lambda: np.zeros_like(z["x"]),
         "y_plain_sum": lambda: np.zeros_like(z["y"]),
+        # Anchor operator products: placeholders only — solve() recomputes
+        # them from the operator right after a resume (they must equal
+        # K @ x_restart / K' @ y_restart for the Halpern scheme).
+        "kx_restart": lambda: np.zeros_like(z["kx"]),
+        "kty_restart": lambda: np.zeros_like(z["kty"]),
     }
     kwargs = {}
     for name in _FIELDS:

@@ -119,6 +119,8 @@ def _restart_check(pb, cfg: SolverConfig, st: PDHGState) -> PDHGState:
             eta_sum=jnp.zeros_like(st.eta_sum),
             x_restart=x_r,
             y_restart=y_r,
+            kx_restart=kx_r,
+            kty_restart=kty_r,
             t=jnp.zeros_like(st.t),
             n_restarts=st.n_restarts + 1,
             omega=omega_new,

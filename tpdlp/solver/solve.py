@@ -26,7 +26,7 @@ import numpy as np
 from tpdlp.config import SolverConfig, Status
 from tpdlp.problem import LPProblem, device_problem, to_device_arrays
 from tpdlp.scaling.ruiz import scale_problem
-from tpdlp.solver.loop import run_chunk, final_eval
+from tpdlp.solver.loop import final_eval, run_chunk, run_chunk_impl
 from tpdlp.solver.power_iteration import spectral_norm_estimate
 from tpdlp.solver.state import init_state
 
@@ -146,8 +146,6 @@ def _prepare_warm(op, c, q, l, u, ineq_mask, key, x0, y0, cfg: SolverConfig):
 def _prepare_run(op, c, q, l, u, ineq_mask, key, budget, cfg: SolverConfig):
     """Preprocessing + the first iteration chunk, fused into ONE dispatch —
     a small LP then completes in a single host round trip."""
-    from tpdlp.solver.loop import run_chunk_impl
-
     pb, st = _prepare_impl(op, c, q, l, u, ineq_mask, key, None, None, cfg)
     return pb, run_chunk_impl(st, pb, budget, cfg)
 
@@ -156,8 +154,6 @@ def _prepare_run(op, c, q, l, u, ineq_mask, key, budget, cfg: SolverConfig):
 def _prepare_warm_run(
     op, c, q, l, u, ineq_mask, key, x0, y0, budget, cfg: SolverConfig
 ):
-    from tpdlp.solver.loop import run_chunk_impl
-
     pb, st = _prepare_impl(op, c, q, l, u, ineq_mask, key, x0, y0, cfg)
     return pb, run_chunk_impl(st, pb, budget, cfg)
 
@@ -236,6 +232,11 @@ def _solve_escalated(problem, cfg: SolverConfig, **kw):
     kw2 = dict(kw)
     kw2["time_used"] = s1.solve_time  # already includes incoming time_used
     cfg2 = cfg.replace(max_kkt=kkt_left)
+    if cfg.escalation_scheme not in ("auto", "inherit"):
+        raise ValueError(
+            f"unknown escalation_scheme: {cfg.escalation_scheme!r} "
+            "(expected 'auto' or 'inherit')"
+        )
     if cfg.escalation_scheme == "auto" and cfg.step_scheme == "vanilla":
         # The Halpern-anchored tail reaches tight tolerances in ~2x fewer
         # iterations; it requires fixed steps.
@@ -474,6 +475,13 @@ def solve(
         from tpdlp.solver.checkpoint import load_state
 
         st = load_state(checkpoint_path, dtype=dtype)
+        # Re-derive the anchor operator products from the operator: they
+        # must equal K @ x_restart / K' @ y_restart (old checkpoints lack
+        # them; recomputation is also robust to dtype recasts).
+        st = st.replace(
+            kx_restart=pb.op.mv(st.x_restart),
+            kty_restart=pb.op.rmv(st.y_restart),
+        )
         resumed = True
     if mesh is not None:
         pb = shard_device_problem(pb, mesh)

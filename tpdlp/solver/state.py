@@ -50,7 +50,9 @@ class PDHGState:
     eta_sum: jax.Array  # scalar
     # Last restart point, for the primal-weight update (:63-64,150-151).
     # In the Halpern scheme this doubles as the anchor z0, so its operator
-    # products are carried too (loop-invariant/hoisted in vanilla mode).
+    # products are carried too; both restart variants maintain
+    # kx_restart == K @ x_restart (vanilla never reads them, but the
+    # invariant is kept so checkpoints can resume under either scheme).
     x_restart: jax.Array
     y_restart: jax.Array
     kx_restart: jax.Array
