@@ -176,3 +176,38 @@ def test_validate_rejects_bad_bounds():
     p.l[0], p.u[0] = 2.0, 1.0
     with pytest.raises(ValueError, match="box bounds"):
         p.validate()
+
+
+@pytest.mark.parametrize("seed", [0, 3, 8, 21])
+def test_mps_write_read_roundtrip_property(seed):
+    """write_mps -> read_mps reproduces the standard form exactly for
+    randomly generated LPs with mixed bound kinds (property test)."""
+    import scipy.sparse as sp
+
+    from tpdlp import generate_feasible_lp, read_mps, write_mps
+
+    rng = np.random.default_rng(seed)
+    p = generate_feasible_lp(n=30, m_ineq=17, m_eq=6, seed=seed)
+    # Mix in every bound flavor: free, one-sided, fixed, negative-upper.
+    p.l[0], p.u[0] = -np.inf, np.inf
+    p.l[1] = -np.inf
+    p.u[2] = np.inf
+    p.l[3] = p.u[3] = float(rng.normal())
+    p.l[4], p.u[4] = -5.0, -1.0
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".mps", mode="w") as f:
+        write_mps(p, f.name)
+        p2 = read_mps(f.name)
+    assert p2.m_ineq == p.m_ineq
+    K1 = p.K.toarray() if sp.issparse(p.K) else np.asarray(p.K)
+    K2 = p2.K.toarray()
+    np.testing.assert_allclose(K2, K1, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(p2.c, p.c, rtol=1e-12)
+    np.testing.assert_allclose(p2.q, p.q, rtol=1e-12)
+    np.testing.assert_array_equal(np.isfinite(p2.l), np.isfinite(p.l))
+    np.testing.assert_array_equal(np.isfinite(p2.u), np.isfinite(p.u))
+    fin = np.isfinite(p.l)
+    np.testing.assert_allclose(p2.l[fin], p.l[fin], rtol=1e-12)
+    fin = np.isfinite(p.u)
+    np.testing.assert_allclose(p2.u[fin], p.u[fin], rtol=1e-12)
