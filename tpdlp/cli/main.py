@@ -228,6 +228,9 @@ def main(argv=None):
             result = solve(
                 problem, cfg, dtype=dtype, x0=x0, y0=y0, seed=args.seed,
                 time_used=time_used, mesh=mesh, presolve=args.presolve,
+                # Reference parity: --support_sparse runs the dense/sparse
+                # representation autotune (PDLP/util.py:29-74).
+                matrix_format="auto" if args.support_sparse else "dense",
             )
             print(f"Solver uses {result.solve_time:.4f} seconds.")
             print(f"Status: {result.status_string}")
