@@ -40,8 +40,11 @@ def test_singleton_rows_become_bounds():
         [0, 0, 0], [10, 10, 10],
     )
     r = presolve(p)
-    assert r.status == Status.RUNNING
-    # x1 fixed at 5 -> eliminated; singleton rows removed.
+    # The singleton rows force l0 = 2 and x1 = 5, which contradicts the
+    # equality x0 + x1 + x2 = 6 (x0 + x2 = 1 < 2).  The oracle confirms the
+    # fixture is infeasible (HiGHS status 2); with the parallel-column
+    # reduction the engine now proves it outright.
+    assert r.status == Status.PRIMAL_INFEASIBLE
     assert r.rows_removed >= 2
     assert 1 in r.data.fixed_idx.tolist()
 
@@ -242,3 +245,75 @@ def test_free_singleton_postsolve_save_load(tmp_path):
     x1 = postsolve(np.array([2.0, 0.0])[: len(r.data.col_map)], r.data)
     x2 = postsolve(np.array([2.0, 0.0])[: len(data2.col_map)], data2)
     np.testing.assert_allclose(x1, x2)
+
+
+def test_parallel_columns_merge_and_split():
+    """Proportional columns with consistent costs merge; postsolve splits
+    the merged value into a feasible pair (PaPILO ParallelCols)."""
+    from tpdlp import SolverConfig, solve
+
+    # col1 = 2 * col0, c1 = 2 * c0 -> mergeable; col2 independent.
+    p = _lp(
+        [1, 2, 1],
+        [[1, 2, 1], [3, 6, 0]],
+        [4, 3],
+        2,
+        [0, 0, 0],
+        [5, 5, 10],
+    )
+    r = presolve(p)
+    assert (r.data.subst_kind == 1).sum() >= 1
+    oracle = solve_oracle(p)
+    if r.status == Status.RUNNING:
+        s = solve(r.problem, SolverConfig(tol=1e-9))
+        x = postsolve(s.x, r.data)
+    else:
+        assert r.status == Status.SOLVED
+        x = postsolve(np.zeros(0), r.data)
+    assert float(p.c @ x) == pytest.approx(oracle.fun, abs=1e-6)
+    K = p.K.toarray()
+    assert np.all(K @ x >= p.q - 1e-7)
+    assert np.all(x >= p.l - 1e-9) and np.all(x <= p.u + 1e-9)
+
+
+def test_parallel_columns_negative_lambda_and_inf_bounds():
+    """lam < 0 merge with an infinite bound on the dropped side still
+    splits feasibly; cost-inconsistent pairs are NOT merged."""
+    from tpdlp import SolverConfig, solve
+
+    # col1 = -1 * col0; c1 = -c0 (consistent).  u1 = inf, u0 finite.
+    p = _lp(
+        [2, -2, 1],
+        [[1, -1, 1], [2, -2, 0]],
+        [1, -4],
+        2,
+        [0, 0, 0],
+        [3, np.inf, 10],
+    )
+    r = presolve(p)
+    oracle = solve_oracle(p)
+    if r.status == Status.RUNNING:
+        s = solve(r.problem, SolverConfig(tol=1e-9))
+        x = postsolve(s.x, r.data)
+    else:
+        assert r.status == Status.SOLVED
+        x = postsolve(np.zeros(0), r.data)
+    assert float(p.c @ x) == pytest.approx(oracle.fun, abs=1e-6)
+    K = p.K.toarray()
+    assert np.all(K @ x >= p.q - 1e-7)
+    assert np.all(x >= p.l - 1e-9)
+
+    # Cost-inconsistent proportional columns must survive.
+    p2 = _lp([1, 5], [[1, 2], [3, 6]], [4, 3], 2, [0, 0], [5, 5])
+    r2 = presolve(p2)
+    if r2.status == Status.RUNNING:
+        assert not (r2.data.subst_kind == 1).any() or r2.problem.n == 2
+    s2 = (
+        solve(r2.problem, SolverConfig(tol=1e-9))
+        if r2.status == Status.RUNNING
+        else None
+    )
+    x2 = postsolve(
+        s2.x if s2 is not None else np.zeros(0), r2.data
+    )
+    assert float(p2.c @ x2) == pytest.approx(solve_oracle(p2).fun, abs=1e-4)

@@ -122,3 +122,31 @@ def test_cpp_matches_python_free_singleton():
     np.testing.assert_allclose(
         postsolve(x_red, rc.data), postsolve(x_red, rp.data)
     )
+
+
+def test_cpp_matches_python_parallel_columns():
+    """Parity on parallel-column merges, including the kind-tagged stack."""
+    p = generate_feasible_lp(n=24, m_ineq=14, m_eq=5, seed=6)
+    K = p.K.toarray()
+    # Give the pair an equality-row entry so duality fixing cannot claim
+    # it first, then plant proportionality with a rounding factor.
+    K[p.m_ineq + 2, 4] = 0.7
+    K[:, 9] = 1.5 * K[:, 4]
+    p.K = sp.csr_matrix(K)
+    p.c[9] = 1.5 * p.c[4]
+    rp, rc = _compare(p)
+    assert (rp.data.subst_kind == 1).sum() >= 1
+    np.testing.assert_array_equal(rc.data.subst_kind, rp.data.subst_kind)
+    np.testing.assert_array_equal(rc.data.subst_idx, rp.data.subst_idx)
+    np.testing.assert_allclose(rc.data.subst_scale, rp.data.subst_scale)
+    np.testing.assert_allclose(rc.data.subst_rhs, rp.data.subst_rhs)
+    np.testing.assert_array_equal(rc.data.subst_cols, rp.data.subst_cols)
+    np.testing.assert_allclose(rc.data.subst_vals, rp.data.subst_vals)
+    x_red = (
+        np.linspace(0.0, 1.0, rp.problem.n)
+        if rp.problem is not None
+        else np.zeros(0)
+    )
+    np.testing.assert_allclose(
+        postsolve(x_red, rc.data), postsolve(x_red, rp.data)
+    )

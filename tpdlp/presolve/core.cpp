@@ -17,7 +17,9 @@
 //                           the forced bound is infinite with strict cost)
 //   6. free column singletons in equality rows -> substituted out via the
 //                           row (postsolve substitution stack)
-//   7. duplicate rows    -> proportional rows merged (tighter rhs for
+//   7. parallel columns  -> proportional columns with consistent costs
+//                           merged (postsolve split entry)
+//   8. duplicate rows    -> proportional rows merged (tighter rhs for
 //                           inequalities; contradiction check for equalities)
 //
 // Exposed via a C ABI (ctypes); the postsolve transformation (surviving-
@@ -60,7 +62,9 @@ struct Result {
   Problem p;
   std::vector<int64_t> fixed_idx;
   std::vector<double> fixed_val;
-  // Substitution stack (free column singletons; CSR-like layout).
+  // Transform stack (CSR-like layout), chronological.  kind 0 = linear
+  // substitution (free column singleton); kind 1 = parallel-column split.
+  std::vector<int8_t> subst_kind;
   std::vector<int64_t> subst_idx;
   std::vector<double> subst_scale, subst_rhs;
   std::vector<int64_t> subst_indptr{0};
@@ -320,6 +324,7 @@ bool pass_free_singleton_cols(Problem& p, Result& r) {
     for (const auto& e : p.rows[i]) vmax = std::max(vmax, std::fabs(e.val));
     if (std::fabs(a_jj) < 1e-10 * (1.0 + vmax)) continue;  // unsafe pivot
     const double ratio = p.c[j] / a_jj;
+    r.subst_kind.push_back(0);
     r.subst_idx.push_back(p.orig_cols[j]);
     r.subst_scale.push_back(a_jj);
     r.subst_rhs.push_back(p.q[i]);
@@ -356,6 +361,128 @@ bool pass_free_singleton_cols(Problem& p, Result& r) {
   c2.reserve(w);
   for (size_t j = 0; j < n; ++j) {
     if (drop_col[j]) continue;
+    c2.push_back(p.c[j]);
+    l2.push_back(p.l[j]);
+    u2.push_back(p.u[j]);
+    oc2.push_back(p.orig_cols[j]);
+  }
+  p.c = std::move(c2);
+  p.l = std::move(l2);
+  p.u = std::move(u2);
+  p.orig_cols = std::move(oc2);
+  return true;
+}
+
+// Parallel (proportional) columns (PaPILO ParallelCols): col_j = lam *
+// col_j0 with consistent costs (c_j = lam c_j0) merge into one variable
+// w = x_j0 + lam x_j with summed bounds; the postsolve kind-1 entry splits
+// w back into a feasible pair.  Skipped when the split formula would be
+// ill-defined under infinite bounds.  Mirrors the Python pass exactly
+// (ascending kept-column order, same tolerances).
+bool pass_parallel_cols(Problem& p, Result& r) {
+  const size_t n = p.c.size();
+  // Column views built by scanning rows in order => ascending row index,
+  // matching scipy CSC entry order.
+  std::vector<std::vector<int64_t>> col_rows(n);
+  std::vector<std::vector<double>> col_vals(n);
+  for (size_t i = 0; i < p.rows.size(); ++i) {
+    for (const auto& e : p.rows[i]) {
+      col_rows[e.col].push_back(static_cast<int64_t>(i));
+      col_vals[e.col].push_back(e.val);
+    }
+  }
+  // Hash by row PATTERN only; candidates in a bucket are compared by
+  // value with a relative tolerance (mirrors the Python pass; exact
+  // bit-keys miss pairs whose proportionality factor rounds).
+  using Key = std::vector<int64_t>;
+  struct Cand {
+    size_t j;
+    double lead;
+    std::vector<double> norm;
+  };
+  std::map<Key, std::vector<Cand>> sig;
+  std::vector<uint8_t> drop(n, 0);
+  bool any = false;
+  for (size_t j = 0; j < n; ++j) {
+    if (col_rows[j].empty()) continue;  // empty columns: own pass
+    const double lead = col_vals[j][0];
+    std::vector<double> norm(col_vals[j].size());
+    for (size_t e = 0; e < col_vals[j].size(); ++e)
+      norm[e] = col_vals[j][e] / lead;
+    Key key(col_rows[j].begin(), col_rows[j].end());
+    auto& bucket = sig[key];
+    const Cand* hit = nullptr;
+    for (const auto& cand : bucket) {
+      bool close = true;
+      for (size_t e = 0; e < norm.size() && close; ++e) {
+        close = std::fabs(norm[e] - cand.norm[e]) <=
+                1e-12 * std::fabs(cand.norm[e]);
+      }
+      if (close) {
+        hit = &cand;
+        break;
+      }
+    }
+    if (hit == nullptr) {
+      bucket.push_back({j, lead, std::move(norm)});
+      continue;
+    }
+    const size_t j0 = hit->j;
+    const double lam = lead / hit->lead;  // col_j = lam * col_j0
+    if (std::fabs(p.c[j] - lam * p.c[j0]) >
+        1e-12 * (1.0 + std::fabs(p.c[j]))) {
+      continue;
+    }
+    const bool ok =
+        std::isfinite(p.u[j0]) || (lam > 0 && std::isfinite(p.l[j])) ||
+        (lam < 0 && std::isfinite(p.u[j]));
+    if (!ok) continue;
+    r.subst_kind.push_back(1);
+    r.subst_idx.push_back(p.orig_cols[j]);
+    r.subst_scale.push_back(lam);
+    r.subst_rhs.push_back(p.u[j0]);
+    r.subst_cols.push_back(p.orig_cols[j0]);
+    r.subst_cols.push_back(p.orig_cols[j0]);
+    r.subst_vals.push_back(p.l[j]);
+    r.subst_vals.push_back(p.u[j]);
+    r.subst_indptr.push_back(static_cast<int64_t>(r.subst_cols.size()));
+    if (lam > 0) {
+      p.l[j0] = p.l[j0] + lam * p.l[j];
+      p.u[j0] = p.u[j0] + lam * p.u[j];
+    } else {
+      p.l[j0] = p.l[j0] + lam * p.u[j];
+      p.u[j0] = p.u[j0] + lam * p.l[j];
+    }
+    drop[j] = 1;
+    any = true;
+  }
+  if (!any) return false;
+  // Compact dropped columns and remap indices (dropped columns' entries
+  // are removed from the rows).
+  std::vector<int32_t> new_col(n, -1);
+  int32_t w = 0;
+  for (size_t j = 0; j < n; ++j) {
+    if (drop[j]) {
+      ++r.cols_removed;
+    } else {
+      new_col[j] = w++;
+    }
+  }
+  for (auto& row : p.rows) {
+    size_t k = 0;
+    for (size_t e = 0; e < row.size(); ++e) {
+      if (drop[row[e].col]) continue;
+      row[k].col = new_col[row[e].col];
+      row[k].val = row[e].val;
+      ++k;
+    }
+    row.resize(k);
+  }
+  std::vector<double> c2, l2, u2;
+  std::vector<int64_t> oc2;
+  c2.reserve(w);
+  for (size_t j = 0; j < n; ++j) {
+    if (drop[j]) continue;
     c2.push_back(p.c[j]);
     l2.push_back(p.l[j]);
     u2.push_back(p.u[j]);
@@ -451,6 +578,7 @@ void* tpdlp_presolve_run(
     if (pass_dominated_cols(p, *res)) { changed = true; continue; }
     if (res->status != kRunning) break;
     if (pass_free_singleton_cols(p, *res)) { changed = true; continue; }
+    if (pass_parallel_cols(p, *res)) { changed = true; continue; }
     if (pass_duplicate_rows(p, *res)) changed = true;
   }
 
@@ -541,7 +669,8 @@ int64_t tpdlp_subst_nnz(void* h) {
   return static_cast<Result*>(h)->subst_cols.size();
 }
 void tpdlp_get_subst(void* h, int64_t* idx, double* scale, double* rhs,
-                     int64_t* indptr, int64_t* cols, double* vals) {
+                     int64_t* indptr, int64_t* cols, double* vals,
+                     int8_t* kind) {
   const auto* r = static_cast<Result*>(h);
   std::memcpy(idx, r->subst_idx.data(),
               r->subst_idx.size() * sizeof(int64_t));
@@ -555,6 +684,8 @@ void tpdlp_get_subst(void* h, int64_t* idx, double* scale, double* rhs,
               r->subst_cols.size() * sizeof(int64_t));
   std::memcpy(vals, r->subst_vals.data(),
               r->subst_vals.size() * sizeof(double));
+  std::memcpy(kind, r->subst_kind.data(),
+              r->subst_kind.size() * sizeof(int8_t));
 }
 
 void tpdlp_free(void* h) { delete static_cast<Result*>(h); }

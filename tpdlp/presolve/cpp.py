@@ -87,7 +87,7 @@ def _lib():
     lib.tpdlp_get_subst.restype = None
     lib.tpdlp_get_subst.argtypes = [
         ctypes.c_void_p, p(i64), p(ctypes.c_double), p(ctypes.c_double),
-        p(i64), p(i64), p(ctypes.c_double),
+        p(i64), p(i64), p(ctypes.c_double), p(ctypes.c_int8),
     ]
     lib.tpdlp_free.restype = None
     lib.tpdlp_free.argtypes = [ctypes.c_void_p]
@@ -144,6 +144,7 @@ def presolve_cpp(problem, *, max_passes: int = 10):
         )
         n_subst = lib.tpdlp_n_subst(h)
         subst_nnz = lib.tpdlp_subst_nnz(h)
+        subst_kind = np.empty(n_subst, np.int8)
         subst_idx = np.empty(n_subst, np.int64)
         subst_scale = np.empty(n_subst, np.float64)
         subst_rhs = np.empty(n_subst, np.float64)
@@ -157,6 +158,7 @@ def presolve_cpp(problem, *, max_passes: int = 10):
             _ptr(subst_indptr, ctypes.c_int64),
             _ptr(subst_cols, ctypes.c_int64),
             _ptr(subst_vals, ctypes.c_double),
+            _ptr(subst_kind, ctypes.c_int8),
         )
         data_out = PostsolveData(
             n_orig=problem.n,
@@ -164,6 +166,7 @@ def presolve_cpp(problem, *, max_passes: int = 10):
             fixed_idx=fixed_idx,
             fixed_val=fixed_val,
             obj_offset=lib.tpdlp_obj_offset(h),
+            subst_kind=subst_kind,
             subst_idx=subst_idx,
             subst_scale=subst_scale,
             subst_rhs=subst_rhs,

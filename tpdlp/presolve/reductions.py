@@ -33,6 +33,7 @@ from tpdlp.problem import LPProblem
 
 def _empty_subst():
     return dict(
+        subst_kind=np.zeros(0, np.int8),
         subst_idx=np.zeros(0, np.int64),
         subst_scale=np.zeros(0),
         subst_rhs=np.zeros(0),
@@ -46,11 +47,10 @@ def _empty_subst():
 class PostsolveData:
     """Everything needed to map a reduced primal solution back.
 
-    Two transformation families, applied in this order at postsolve:
-    (1) surviving-column scatter + fixed values, (2) the substitution stack
-    (free column singletons eliminated via their equality row), evaluated in
-    reverse elimination order: x[j] = (rhs - sum_k vals*x[cols]) / scale,
-    with `cols` in ORIGINAL variable indices.
+    Applied in this order at postsolve: (1) surviving-column scatter +
+    fixed values, (2) the transform stack (free-singleton substitutions and
+    parallel-column splits), evaluated in reverse chronological order with
+    `cols` in ORIGINAL variable indices.
     """
 
     n_orig: int
@@ -58,7 +58,16 @@ class PostsolveData:
     fixed_idx: np.ndarray  # original indices of eliminated columns
     fixed_val: np.ndarray  # their values
     obj_offset: float  # c_fixed . x_fixed accumulated into the objective
-    # Substitution stack (CSR-like layout over stack entries).
+    # Transform stack (CSR-like layout over stack entries), chronological.
+    # kind 0 = linear substitution (free column singleton):
+    #     x[idx] = (rhs - vals . x[cols]) / scale
+    # kind 1 = parallel-column split (idx was merged into cols[0] with
+    #     column_idx = scale * column_cols0; rhs = kept var's upper bound
+    #     at merge time; vals = [l_idx, u_idx]):
+    #     x[idx] = clip((x[cols0] - rhs)/scale, l, u);  x[cols0] -= scale*x[idx]
+    subst_kind: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int8)
+    )
     subst_idx: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(0, np.int64)
     )
@@ -86,6 +95,7 @@ class PostsolveData:
             fixed_idx=self.fixed_idx,
             fixed_val=self.fixed_val,
             obj_offset=self.obj_offset,
+            subst_kind=self.subst_kind,
             subst_idx=self.subst_idx,
             subst_scale=self.subst_scale,
             subst_rhs=self.subst_rhs,
@@ -101,6 +111,10 @@ class PostsolveData:
         for k in subst:
             if k in z.files:
                 subst[k] = z[k]
+        if "subst_kind" not in z.files:
+            subst["subst_kind"] = np.zeros(
+                len(subst["subst_idx"]), np.int8
+            )
         return cls(
             n_orig=int(z["n_orig"]),
             col_map=z["col_map"],
@@ -127,14 +141,28 @@ def postsolve(x_reduced: np.ndarray, data: PostsolveData) -> np.ndarray:
     x = np.zeros(data.n_orig)
     x[data.col_map] = x_reduced
     x[data.fixed_idx] = data.fixed_val
-    # Substituted free singletons, in reverse elimination order (later
-    # entries may reference variables recovered by earlier reverse steps).
+    # Transform stack in reverse chronological order (later entries may
+    # reference variables recovered by earlier reverse steps).
+    kinds = data.subst_kind
     for t in range(len(data.subst_idx) - 1, -1, -1):
         s, e = data.subst_indptr[t], data.subst_indptr[t + 1]
-        x[data.subst_idx[t]] = (
-            data.subst_rhs[t]
-            - data.subst_vals[s:e] @ x[data.subst_cols[s:e]]
-        ) / data.subst_scale[t]
+        if len(kinds) and kinds[t] == 1:
+            # Parallel-column split: recover the dropped variable from the
+            # merged one, respecting both original bound boxes.
+            j0 = data.subst_cols[s]
+            lam = data.subst_scale[t]
+            u0 = data.subst_rhs[t]
+            lj, uj = data.subst_vals[s], data.subst_vals[s + 1]
+            w = x[j0]
+            with np.errstate(invalid="ignore"):
+                xj = np.clip((w - u0) / lam, lj, uj)
+            x[data.subst_idx[t]] = xj
+            x[j0] = w - lam * xj
+        else:
+            x[data.subst_idx[t]] = (
+                data.subst_rhs[t]
+                - data.subst_vals[s:e] @ x[data.subst_cols[s:e]]
+            ) / data.subst_scale[t]
     return x
 
 
@@ -176,6 +204,7 @@ def presolve(
     orig_cols = np.arange(n)
     fixed_idx: list[int] = []
     fixed_val: list[float] = []
+    subst_kind: list[int] = []
     subst_idx: list[int] = []
     subst_scale: list[float] = []
     subst_rhs: list[float] = []
@@ -369,6 +398,7 @@ def presolve(
                 ratio = c[j] / a_jj
                 c[cols[keep_k]] -= ratio * vals[keep_k]
                 obj_offset += ratio * q[i]
+                subst_kind.append(0)
                 subst_idx.append(int(orig_cols[j]))
                 subst_scale.append(float(a_jj))
                 subst_rhs.append(float(q[i]))
@@ -391,6 +421,75 @@ def presolve(
                 cols_removed += int(drop_col.sum())
                 changed = True
                 continue
+
+        # ---- parallel (proportional) columns (PaPILO ParallelCols) ----
+        # Columns with identical row pattern and proportional values
+        # (col_j = lam * col_j0) whose costs are consistent (c_j = lam *
+        # c_j0) merge into one variable w = x_j0 + lam * x_j with summed
+        # bounds; postsolve splits w back into a feasible (x_j0, x_j) pair
+        # via the kind-1 stack entry.  Skipped when the split formula
+        # would be ill-defined under infinite bounds.
+        Kc5 = K.tocsc()
+        n = Kc5.shape[1]
+        # Hash by row PATTERN only; candidates in a bucket are compared by
+        # value with a relative tolerance (exact bit-keys miss pairs whose
+        # proportionality factor rounds, e.g. 1.5 * col).
+        sig_c: dict = {}
+        drop_col5 = np.zeros(n, dtype=bool)
+        merged = False
+        for j in range(n):
+            s_, e_ = Kc5.indptr[j], Kc5.indptr[j + 1]
+            if s_ == e_:
+                continue  # empty columns are handled by their own pass
+            idx_r = Kc5.indices[s_:e_]
+            val_r = Kc5.data[s_:e_]
+            lead = val_r[0]
+            norm = val_r / lead
+            bucket = sig_c.setdefault(idx_r.tobytes(), [])
+            j0 = None
+            for cand_j, cand_lead, cand_norm in bucket:
+                if np.allclose(norm, cand_norm, rtol=1e-12, atol=0.0):
+                    j0, lead0 = cand_j, cand_lead
+                    break
+            if j0 is None:
+                bucket.append((j, lead, norm))
+                continue
+            lam = lead / lead0  # col_j = lam * col_j0
+            if abs(c[j] - lam * c[j0]) > 1e-12 * (1.0 + abs(c[j])):
+                continue  # costs inconsistent: not mergeable
+            ok = (
+                np.isfinite(u[j0])
+                or (lam > 0 and np.isfinite(l[j]))
+                or (lam < 0 and np.isfinite(u[j]))
+            )
+            if not ok:
+                continue
+            subst_kind.append(1)
+            subst_idx.append(int(orig_cols[j]))
+            subst_scale.append(float(lam))
+            subst_rhs.append(float(u[j0]))
+            subst_cols.append(
+                np.array([orig_cols[j0], orig_cols[j0]], dtype=np.int64)
+            )
+            subst_vals.append(np.array([l[j], u[j]], dtype=np.float64))
+            if lam > 0:
+                l[j0] = l[j0] + lam * l[j]
+                u[j0] = u[j0] + lam * u[j]
+            else:
+                l[j0] = l[j0] + lam * u[j]
+                u[j0] = u[j0] + lam * l[j]
+            drop_col5[j] = True
+            merged = True
+        if merged:
+            keep_c = ~drop_col5
+            K = Kc5[:, keep_c].tocsr()
+            c = c[keep_c]
+            l = l[keep_c]
+            u = u[keep_c]
+            orig_cols = orig_cols[keep_c]
+            cols_removed += int(drop_col5.sum())
+            changed = True
+            continue
 
         # ---- duplicate rows (identical pattern, proportional values) ----
         K = K.tocsr()
@@ -437,6 +536,7 @@ def presolve(
         fixed_idx=np.asarray(fixed_idx, dtype=np.int64),
         fixed_val=np.asarray(fixed_val),
         obj_offset=obj_offset,
+        subst_kind=np.asarray(subst_kind, dtype=np.int8),
         subst_idx=np.asarray(subst_idx, dtype=np.int64),
         subst_scale=np.asarray(subst_scale),
         subst_rhs=np.asarray(subst_rhs),

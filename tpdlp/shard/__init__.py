@@ -1,4 +1,5 @@
 from tpdlp.shard.mesh import (
+    init_distributed,
     make_solver_mesh,
     problem_shardings,
     shard_device_problem,
@@ -6,6 +7,7 @@ from tpdlp.shard.mesh import (
 )
 
 __all__ = [
+    "init_distributed",
     "make_solver_mesh",
     "problem_shardings",
     "shard_device_problem",

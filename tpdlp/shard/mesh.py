@@ -163,3 +163,18 @@ def pad_problem_arrays(K, c, q, l, u, ineq_mask, m_pad: int, n_pad: int):
         [np.asarray(ineq_mask), np.ones(m_pad - m, dtype=bool)]
     )
     return K_p, c_p, q_p, l_p, u_p, mask_p
+
+
+def init_distributed(**kwargs) -> Mesh:
+    """Multi-host entry: initialise the JAX distributed runtime and return
+    a solver mesh spanning the whole pod slice.
+
+    Call once per host process before any JAX computation (kwargs pass
+    through to `jax.distributed.initialize`: coordinator_address,
+    num_processes, process_id — all auto-detected on Cloud TPU).  After
+    this, `jax.devices()` spans every chip in the slice and the returned
+    ("row", "col") mesh shards a single solve across hosts; GSPMD routes
+    the collectives over ICI within a slice and DCN across hosts.
+    """
+    jax.distributed.initialize(**kwargs)
+    return make_solver_mesh()
