@@ -113,3 +113,18 @@ def test_batch_compaction_preserves_results(monkeypatch):
         assert r.status == Status.SOLVED, (p.name, r.status_string)
         np.testing.assert_allclose(r.objective, o.fun, rtol=1e-3, atol=1e-3)
         assert r.x.shape == (p.n,)
+
+
+def test_batch_halpern_scheme():
+    problems = [
+        generate_feasible_lp(n=25, m_ineq=15, m_eq=5, seed=s)
+        for s in range(3)
+    ]
+    cfg = SolverConfig(tol=1e-6, scaling="ruiz", step_scheme="halpern")
+    for sync in ("element", "global"):
+        results = solve_batch(problems, cfg, restart_sync=sync)
+        for p, r in zip(problems, results):
+            o = solve_oracle(p)
+            assert r.status == Status.SOLVED, (sync, p.name, r.status_string)
+            np.testing.assert_allclose(r.objective, o.fun, rtol=1e-3,
+                                       atol=1e-3)
