@@ -131,7 +131,9 @@ def test_escalation_budget_exhausted_reports_kkt_limit():
     from tpdlp.solver.solve import _solve_escalated
 
     problem = generate_feasible_lp(n=30, m_ineq=18, m_eq=6, seed=3)
-    cfg = SolverConfig(tol=1e-8, scaling="ruiz")
+    # 'inherit' pins both stages to this exact configuration so the
+    # budget computed from s1 matches stage 1 pass-for-pass.
+    cfg = SolverConfig(tol=1e-8, scaling="ruiz", escalation_scheme="inherit")
     s1 = solve(problem, cfg.replace(tol=cfg.escalation_tol), dtype=jnp.float32)
     assert s1.status == Status.SOLVED
     r = _solve_escalated(

@@ -119,10 +119,12 @@ class SolverConfig:
     #: 1e-8 ~5x faster than pure fp64 (BASELINE.md).
     precision_escalation: bool = True
     escalation_tol: float = 1e-6
-    #: Scheme for the fp64 tail: "auto" switches it to Halpern-anchored
-    #: reflected PDHG with fixed steps (measured 1.4-3.6x faster to 1e-8
-    #: than the vanilla tail; the fp32 stage keeps the user's scheme);
-    #: "inherit" keeps the configured scheme for both stages.
+    #: Escalation stage policy: "auto" runs both stages as vanilla PDHG
+    #: with adaptive stepsizes (the robust high-accuracy configuration)
+    #: when the user left scheme/adaptive at their defaults; "inherit"
+    #: keeps the configured scheme/stepsize rule for both stages.  The
+    #: Halpern scheme is faster on some instances but much slower on
+    #: others, so it is never chosen implicitly.
     escalation_scheme: str = "auto"
 
     # Initialisation (PDLP/primal_dual_hybrid_gradient.py:22-25).

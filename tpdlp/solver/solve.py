@@ -218,7 +218,23 @@ def _solve_escalated(problem, cfg: SolverConfig, **kw):
     faster end-to-end than pure fp64 at identical solution quality
     (BASELINE.md).  Work/time budgets span both stages; counters are summed.
     """
-    coarse = cfg.replace(tol=max(cfg.escalation_tol, cfg.tol))
+    if cfg.escalation_scheme not in ("auto", "inherit"):
+        raise ValueError(
+            f"unknown escalation_scheme: {cfg.escalation_scheme!r} "
+            "(expected 'auto' or 'inherit')"
+        )
+    # 'auto': both stages run vanilla PDHG with adaptive stepsizes — the
+    # robust high-accuracy configuration.  (The Halpern scheme is ~1.3-3x
+    # faster on some instances but catastrophically slower on others with
+    # the KKT-based restart criteria, so it stays opt-in.)
+    base = cfg
+    if (
+        cfg.escalation_scheme == "auto"
+        and cfg.step_scheme == "vanilla"
+        and not cfg.adaptive
+    ):
+        base = cfg.replace(adaptive=True)
+    coarse = base.replace(tol=max(cfg.escalation_tol, cfg.tol))
     s1 = solve(problem, coarse, dtype=jnp.float32, **kw)
     if s1.status != Status.SOLVED:
         # Infeasibility certificates, budget exhaustion and timeouts are
@@ -231,16 +247,7 @@ def _solve_escalated(problem, cfg: SolverConfig, **kw):
         return dataclasses.replace(s1, status=Status.KKT_LIMIT)
     kw2 = dict(kw)
     kw2["time_used"] = s1.solve_time  # already includes incoming time_used
-    cfg2 = cfg.replace(max_kkt=kkt_left)
-    if cfg.escalation_scheme not in ("auto", "inherit"):
-        raise ValueError(
-            f"unknown escalation_scheme: {cfg.escalation_scheme!r} "
-            "(expected 'auto' or 'inherit')"
-        )
-    if cfg.escalation_scheme == "auto" and cfg.step_scheme == "vanilla":
-        # The Halpern-anchored tail reaches tight tolerances in ~2x fewer
-        # iterations; it requires fixed steps.
-        cfg2 = cfg2.replace(step_scheme="halpern", adaptive=False)
+    cfg2 = base.replace(max_kkt=kkt_left)
     s2 = solve(
         problem, cfg2, dtype=jnp.float64,
         x0=s1.x, y0=s1.y, **kw2,
