@@ -119,12 +119,11 @@ class SolverConfig:
     #: 1e-8 ~5x faster than pure fp64 (BASELINE.md).
     precision_escalation: bool = True
     escalation_tol: float = 1e-6
-    #: Escalation stage policy: "auto" runs both stages as vanilla PDHG
-    #: with adaptive stepsizes (the robust high-accuracy configuration)
-    #: when the user left scheme/adaptive at their defaults; "inherit"
-    #: keeps the configured scheme/stepsize rule for both stages.  The
-    #: Halpern scheme is faster on some instances but much slower on
-    #: others, so it is never chosen implicitly.
+    #: Escalation stage policy: "auto" (when the user left the scheme at
+    #: vanilla) runs the fp32 coarse stage as vanilla PDHG with adaptive
+    #: stepsizes and the fp64 tail as Halpern-anchored reflected PDHG —
+    #: measured fastest-or-tied at tight tolerances on every benchmark
+    #: instance; "inherit" keeps the configured scheme for both stages.
     escalation_scheme: str = "auto"
 
     # Initialisation (PDLP/primal_dual_hybrid_gradient.py:22-25).

@@ -53,6 +53,7 @@ def load_state(path, dtype=None) -> PDHGState:
         # K @ x_restart / K' @ y_restart for the Halpern scheme).
         "kx_restart": lambda: np.zeros_like(z["kx"]),
         "kty_restart": lambda: np.zeros_like(z["kty"]),
+        "fp_res": lambda: np.zeros_like(z["eta"]),
     }
     kwargs = {}
     for name in _FIELDS:

@@ -162,9 +162,13 @@ def _restart_check_halpern(pb, cfg: SolverConfig, st: PDHGState) -> PDHGState:
     kkt_avg = R.kkt_error(res_avg, st.omega)
     st = st.replace(j=st.j + 2)
 
-    kkt_min = jnp.minimum(kkt_f, kkt_avg)
     use_avg = kkt_f >= kkt_avg
-    sufficient = kkt_min <= cfg.beta_sufficient * st.kkt_first
+    # cuPDLP+-style sufficient criterion: the omega-weighted FIXED-POINT
+    # residual ||z - T(z)|| has decayed vs its value at the cycle start
+    # (kkt_first holds that value in this scheme, measured at t == 1).
+    sufficient = (st.kkt_first > 0) & (
+        st.fp_res <= cfg.beta_sufficient * st.kkt_first
+    )
     artificial = st.t.astype(dtype) >= cfg.beta_artificial * st.k.astype(dtype)
     do_restart = sufficient | artificial
 
@@ -184,7 +188,6 @@ def _restart_check_halpern(pb, cfg: SolverConfig, st: PDHGState) -> PDHGState:
             if cfg.primal_weight_update
             else st.omega
         )
-        kkt_first_new = R.kkt_error(res_r, omega_new)
         res_term = R.residuals_unscaled(pb, x_r, y_r, kx_r, kty_r)
         solved = R.check_termination(
             res_term,
@@ -214,7 +217,9 @@ def _restart_check_halpern(pb, cfg: SolverConfig, st: PDHGState) -> PDHGState:
             t=jnp.zeros_like(st.t),
             n_restarts=st.n_restarts + 1,
             omega=omega_new,
-            kkt_first=kkt_first_new,
+            # Re-measured at the first iteration of the new cycle.
+            kkt_first=jnp.zeros_like(st.kkt_first),
+            fp_res=jnp.zeros_like(st.fp_res),
             j=st.j + 2,
             status=status_new,
             prim_obj=res_term.prim_obj,
@@ -407,7 +412,19 @@ def make_body(pb, cfg: SolverConfig, include_restart: bool = True):
         z_kx = w * (2.0 * kx_f - st.kx) + wa * st.kx_restart
         z_kty = w * (2.0 * kty_f - st.kty) + wa * st.kty_restart
 
+        # Omega-weighted fixed-point residual ||z - T(z)|| — the restart
+        # progress metric for this scheme; its value at t == 1 becomes the
+        # cycle's baseline (kkt_first).
+        dx = x_f - st.x
+        dy = y_f - st.y
+        fp = jnp.sqrt(
+            st.omega * jnp.vdot(dx, dx) + jnp.vdot(dy, dy) / st.omega
+        )
+        kkt_first_new = jnp.where(t_new == 1, fp, st2.kkt_first)
+
         st3 = st2.replace(
+            fp_res=fp,
+            kkt_first=kkt_first_new,
             x=z_x,
             y=z_y,
             kx=z_kx,

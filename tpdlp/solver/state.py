@@ -61,7 +61,12 @@ class PDHGState:
     eta: jax.Array  # scalar — stepsize for the *next* step
     omega: jax.Array  # scalar — primal weight
     # Restart metric at the current restart cycle's start (:48,153).
+    # Vanilla: the candidate KKT error after the last restart.  Halpern:
+    # the omega-weighted fixed-point residual ||z - T(z)|| measured at the
+    # first iteration after the restart (cuPDLP+-style criterion).
     kkt_first: jax.Array  # scalar
+    # Current fixed-point residual (Halpern scheme only; 0 in vanilla).
+    fp_res: jax.Array  # scalar
     # Counters (int32): total iters, inner iters, restarts, KKT passes.
     k: jax.Array
     t: jax.Array
@@ -114,6 +119,7 @@ def init_state(pb, eta0, omega0, x0=None, y0=None) -> PDHGState:
         # KKT_first starts at 0: the artificial criterion always fires the
         # first restart (reference comment at :48).
         kkt_first=zero,
+        fp_res=zero,
         k=jnp.zeros((), jnp.int32),
         t=jnp.zeros((), jnp.int32),
         n_restarts=jnp.zeros((), jnp.int32),
