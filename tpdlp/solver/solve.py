@@ -132,17 +132,21 @@ def _prepare_impl(op, c, q, l, u, ineq_mask, key, x0, y0, cfg: SolverConfig):
     return pb, st
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+# The constraint-matrix argument is DONATED: scaling produces a same-shaped
+# matrix, so XLA reuses the original's HBM instead of holding both (the
+# matrix dominates the solver's footprint; donation halves it).  Callers
+# must not touch `op`'s buffers afterwards (solve() only reads .shape).
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def _prepare(op, c, q, l, u, ineq_mask, key, cfg: SolverConfig):
     return _prepare_impl(op, c, q, l, u, ineq_mask, key, None, None, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def _prepare_warm(op, c, q, l, u, ineq_mask, key, x0, y0, cfg: SolverConfig):
     return _prepare_impl(op, c, q, l, u, ineq_mask, key, x0, y0, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def _prepare_run(op, c, q, l, u, ineq_mask, key, budget, cfg: SolverConfig):
     """Preprocessing + the first iteration chunk, fused into ONE dispatch —
     a small LP then completes in a single host round trip."""
@@ -150,7 +154,7 @@ def _prepare_run(op, c, q, l, u, ineq_mask, key, budget, cfg: SolverConfig):
     return pb, run_chunk_impl(st, pb, budget, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def _prepare_warm_run(
     op, c, q, l, u, ineq_mask, key, x0, y0, budget, cfg: SolverConfig
 ):
@@ -208,6 +212,27 @@ def default_dtype():
     return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
 
 
+#: Emulated-fp64 dense solver programs above this element count FAULT the
+#: TPU worker on this backend (validated good at 1e7 elements, crashing at
+#: 4e7); guard with a clear error instead of killing the process.
+_F64_DENSE_ELEM_LIMIT = 16_000_000
+
+
+def _f64_guard(problem, dtype):
+    if (
+        jax.default_backend() != "cpu"
+        and jnp.dtype(dtype) == jnp.float64
+        and problem.m * problem.n > _F64_DENSE_ELEM_LIMIT
+    ):
+        raise ValueError(
+            f"fp64 dense solve of a {problem.m} x {problem.n} LP exceeds "
+            "this TPU backend's emulated-fp64 program limit "
+            f"(~{_F64_DENSE_ELEM_LIMIT:.0e} matrix elements; larger "
+            "programs fault the worker).  Use fp32 (tol >= 1e-6), solve "
+            "on CPU, or shard over a mesh."
+        )
+
+
 def _solve_escalated(problem, cfg: SolverConfig, **kw):
     """Two-stage precision escalation (accelerator path for tol < 1e-6).
 
@@ -249,6 +274,23 @@ def _solve_escalated(problem, cfg: SolverConfig, **kw):
     cfg2 = base.replace(max_kkt=kkt_left)
     if auto:
         cfg2 = cfg2.replace(step_scheme="halpern", adaptive=False)
+    if (
+        kw.get("mesh") is None
+        and problem.m * problem.n > _F64_DENSE_ELEM_LIMIT
+    ):
+        # The fp64 tail would fault this backend (see _F64_DENSE_ELEM_LIMIT);
+        # report the uncertified-but-best-available fp32 result honestly.
+        import warnings
+
+        warnings.warn(
+            "precision escalation skipped the fp64 tail: the problem "
+            "exceeds this TPU backend's emulated-fp64 program limit; "
+            "returning the fp32 stage result with status KKT_LIMIT "
+            f"(certified only to {cfg.escalation_tol:g})",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return dataclasses.replace(s1, status=Status.KKT_LIMIT)
     s2 = solve(
         problem, cfg2, dtype=jnp.float64,
         x0=s1.x, y0=s1.y, **kw2,
@@ -369,6 +411,9 @@ def solve(
                 matrix_format=matrix_format, checkpoint_path=checkpoint_path,
                 log_history=log_history,
             )
+
+    if mesh is None and matrix_format == "dense":
+        _f64_guard(problem, dtype)
 
     n_orig = problem.n
     mask = np.arange(problem.m) < problem.m_ineq
