@@ -53,6 +53,7 @@ if (
 from tpdlp.config import SolverConfig, Status
 from tpdlp.problem import LPProblem
 from tpdlp.solver.solve import solve, SolveResult
+from tpdlp.batch.vmapped import solve_batch
 from tpdlp.io.mps import read_mps, mps_to_standard_form
 from tpdlp.io.generator import (
     generate_feasible_lp,
@@ -69,6 +70,7 @@ __all__ = [
     "Status",
     "LPProblem",
     "solve",
+    "solve_batch",
     "SolveResult",
     "read_mps",
     "mps_to_standard_form",
