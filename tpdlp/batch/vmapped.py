@@ -259,6 +259,14 @@ def solve_batch(
         dtype = default_dtype()
     np_dtype = np.dtype(jnp.dtype(dtype).name)
 
+    from tpdlp.solver.solve import _f64_guard
+
+    m_max = max(p.m for p in problems)
+    n_max = max(p.n for p in problems)
+    _f64_guard(
+        len(problems) * m_max * n_max, dtype,
+        f"a {len(problems)} x {m_max} x {n_max} LP batch",
+    )
     K, c, q, l, u, mask = _pad_stack(problems, np_dtype)
     keys = jax.random.split(jax.random.PRNGKey(seed), len(problems))
     pbs, sts = _batch_init(

@@ -212,21 +212,23 @@ def default_dtype():
     return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
 
 
-#: Emulated-fp64 dense solver programs above this element count FAULT the
+#: Emulated-fp64 solver programs above this matrix element count FAULT the
 #: TPU worker on this backend (validated good at 1e7 elements, crashing at
-#: 4e7); guard with a clear error instead of killing the process.
+#: 4e7, dense path; applied to every matrix format conservatively — only
+#: dense was probed).  Guard with a clear error instead of killing the
+#: process.
 _F64_DENSE_ELEM_LIMIT = 16_000_000
 
 
-def _f64_guard(problem, dtype):
+def _f64_guard(elems: int, dtype, what: str):
     if (
         jax.default_backend() != "cpu"
         and jnp.dtype(dtype) == jnp.float64
-        and problem.m * problem.n > _F64_DENSE_ELEM_LIMIT
+        and elems > _F64_DENSE_ELEM_LIMIT
     ):
         raise ValueError(
-            f"fp64 dense solve of a {problem.m} x {problem.n} LP exceeds "
-            "this TPU backend's emulated-fp64 program limit "
+            f"fp64 solve of {what} exceeds this TPU backend's "
+            "emulated-fp64 program limit "
             f"(~{_F64_DENSE_ELEM_LIMIT:.0e} matrix elements; larger "
             "programs fault the worker).  Use fp32 (tol >= 1e-6), solve "
             "on CPU, or shard over a mesh."
@@ -412,8 +414,11 @@ def solve(
                 log_history=log_history,
             )
 
-    if mesh is None and matrix_format == "dense":
-        _f64_guard(problem, dtype)
+    if mesh is None:
+        _f64_guard(
+            problem.m * problem.n, dtype,
+            f"a {problem.m} x {problem.n} LP",
+        )
 
     n_orig = problem.n
     mask = np.arange(problem.m) < problem.m_ineq
@@ -535,6 +540,15 @@ def solve(
             kx_restart=pb.op.mv(st.x_restart),
             kty_restart=pb.op.rmv(st.y_restart),
         )
+        if cfg.step_scheme == "halpern":
+            # kkt_first's Halpern semantics (fixed-point-residual baseline)
+            # may not match an older checkpoint; zero both so the criterion
+            # re-baselines at the next restart (sufficient restarts are
+            # simply disabled until then).
+            st = st.replace(
+                kkt_first=jnp.zeros_like(st.kkt_first),
+                fp_res=jnp.zeros_like(st.fp_res),
+            )
         resumed = True
     if mesh is not None:
         pb = shard_device_problem(pb, mesh)
