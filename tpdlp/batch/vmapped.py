@@ -27,10 +27,11 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+import scipy.sparse as sp
 
 from tpdlp.config import SolverConfig, Status
 from tpdlp.ops.dense import DenseOp
-from tpdlp.problem import LPProblem, device_problem
+from tpdlp.problem import LPProblem, device_problem, triplet_transfer_wins
 from tpdlp.scaling.ruiz import scale_problem
 from tpdlp.solver.loop import (
     final_eval,
@@ -38,8 +39,7 @@ from tpdlp.solver.loop import (
     restart_check_gated,
     run_chunk_impl,
 )
-from tpdlp.solver.power_iteration import spectral_norm_estimate
-from tpdlp.solver.solve import SolveResult, default_dtype
+from tpdlp.solver.solve import SolveResult, default_dtype, eta_omega_of
 from tpdlp.solver.state import init_state
 
 
@@ -47,8 +47,6 @@ def _pad_stack(problems: Sequence[LPProblem], dtype):
     """Stack padded problem data; K is densified ON DEVICE from COO
     triplets when sparse enough (shipping 16 bytes/nnz instead of the
     (B, m, n) dense stack — a 100x+ transfer saving on remote backends)."""
-    import scipy.sparse as sp
-
     m_max = max(p.m for p in problems)
     n_max = max(p.n for p in problems)
     B = len(problems)
@@ -67,8 +65,6 @@ def _pad_stack(problems: Sequence[LPProblem], dtype):
         l[i, : p.n] = p.l
         u[i, : p.n] = p.u
         mask[i, : p.m] = np.arange(p.m) < p.m_ineq
-
-    from tpdlp.problem import triplet_transfer_wins
 
     nnz_total = sum(co.nnz for co in coos)
     if triplet_transfer_wins(
@@ -115,13 +111,7 @@ def _build_one(K, c, q, l, u, mask, key, *, cfg: SolverConfig):
             ineq_mask=mask,
             compat_scaled_norms=cfg.compat_scaled_norms,
         )
-    eta0 = cfg.eta_safety / spectral_norm_estimate(pb.op, key, cfg.power_iters)
-    c_norm = jnp.linalg.norm(pb.c)
-    q_norm = jnp.linalg.norm(pb.q)
-    omega0 = jnp.where(
-        (q_norm > 1e-6) & (c_norm > 1e-6), c_norm / q_norm,
-        jnp.ones((), pb.c.dtype),
-    )
+    eta0, omega0 = eta_omega_of(pb, key, cfg)
     st = init_state(pb, eta0, omega0)
     return pb, st
 

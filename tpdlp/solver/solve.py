@@ -16,7 +16,9 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
+import warnings
 from typing import Optional
 
 import jax
@@ -97,6 +99,21 @@ def _build_device_problem(op, c, q, l, u, m_ineq, cfg: SolverConfig,
     )
 
 
+def eta_omega_of(pb, key, cfg: SolverConfig):
+    """eta = eta_safety/||K||_2 (power iteration), omega = ||c||/||q||
+    guarded (primal_dual_hybrid_gradient.py:19-23)."""
+    eta0 = cfg.eta_safety / spectral_norm_estimate(
+        pb.op, key, cfg.power_iters
+    )
+    c_norm = jnp.linalg.norm(pb.c)
+    q_norm = jnp.linalg.norm(pb.q)
+    omega0 = jnp.where(
+        (q_norm > 1e-6) & (c_norm > 1e-6), c_norm / q_norm,
+        jnp.ones((), pb.c.dtype),
+    )
+    return eta0, omega0
+
+
 def _prepare_impl(op, c, q, l, u, ineq_mask, key, x0, y0, cfg: SolverConfig):
     """Whole preprocessing pipeline as one traceable function: scaling,
     mask/problem assembly, power-iteration stepsize, primal weight, state
@@ -121,13 +138,7 @@ def _prepare_impl(op, c, q, l, u, ineq_mask, key, x0, y0, cfg: SolverConfig):
             ineq_mask=ineq_mask,
             compat_scaled_norms=cfg.compat_scaled_norms,
         )
-    eta0 = cfg.eta_safety / spectral_norm_estimate(pb.op, key, cfg.power_iters)
-    c_norm = jnp.linalg.norm(pb.c)
-    q_norm = jnp.linalg.norm(pb.q)
-    omega0 = jnp.where(
-        (q_norm > 1e-6) & (c_norm > 1e-6), c_norm / q_norm,
-        jnp.ones((), pb.c.dtype),
-    )
+    eta0, omega0 = eta_omega_of(pb, key, cfg)
     st = init_state(pb, eta0, omega0, x0, y0)
     return pb, st
 
@@ -187,24 +198,13 @@ def _result_bundle(pb, st, use_prev: bool = False):
 
 
 def _eta_omega_init(pb, cfg: SolverConfig, seed: int):
-    """eta = 0.9/||K||_2 (100 power iters), omega = ||c||/||q|| guarded
-    (primal_dual_hybrid_gradient.py:19-23)."""
+    """Jitted `eta_omega_of` from a seed (bench/driver entry points)."""
 
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def inner(pb, key, iters):
-        norm = spectral_norm_estimate(pb.op, key, iters)
-        eta0 = cfg.eta_safety / norm
-        c_norm = jnp.linalg.norm(pb.c)
-        q_norm = jnp.linalg.norm(pb.q)
-        omega0 = jnp.where(
-            (q_norm > 1e-6) & (c_norm > 1e-6),
-            c_norm / q_norm,
-            jnp.ones((), pb.c.dtype),
-        )
-        return eta0, omega0
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def inner(pb, key, cfg):
+        return eta_omega_of(pb, key, cfg)
 
-    key = jax.random.PRNGKey(seed)
-    return inner(pb, key, cfg.power_iters)
+    return inner(pb, jax.random.PRNGKey(seed), cfg)
 
 
 def default_dtype():
@@ -245,11 +245,6 @@ def _solve_escalated(problem, cfg: SolverConfig, **kw):
     faster end-to-end than pure fp64 at identical solution quality
     (BASELINE.md).  Work/time budgets span both stages; counters are summed.
     """
-    if cfg.escalation_scheme not in ("auto", "inherit"):
-        raise ValueError(
-            f"unknown escalation_scheme: {cfg.escalation_scheme!r} "
-            "(expected 'auto' or 'inherit')"
-        )
     # 'auto' stage policy: the fp32 coarse stage runs vanilla PDHG with
     # adaptive stepsizes (robust at loose tolerances); the fp64 tail runs
     # the Halpern-anchored scheme, whose fixed-point-residual restart
@@ -282,8 +277,6 @@ def _solve_escalated(problem, cfg: SolverConfig, **kw):
     ):
         # The fp64 tail would fault this backend (see _F64_DENSE_ELEM_LIMIT);
         # report the uncertified-but-best-available fp32 result honestly.
-        import warnings
-
         warnings.warn(
             "precision escalation skipped the fp64 tail: the problem "
             "exceeds this TPU backend's emulated-fp64 program limit; "
@@ -471,8 +464,6 @@ def solve(
         l, u = jnp.asarray(l_p), jnp.asarray(u_p)
 
     key = jax.random.PRNGKey(seed)
-    import os
-
     mask_j = jnp.asarray(mask)
     will_resume = bool(
         resume
