@@ -442,6 +442,10 @@ def make_body(pb, cfg: SolverConfig, include_restart: bool = True):
 
         if not include_restart:
             return st3
+        # NB firing the sufficient criterion eagerly (every iteration, the
+        # fp residual is carried anyway) was tried and REGRESSED two suite
+        # instances by 1.4-2x — too-frequent restarts reset the anchor
+        # momentum; the periodic boundary is kept.
         fire = (
             (st3.t % cfg.restart_period == 0)
             & (st3.status == jnp.int32(Status.RUNNING))
