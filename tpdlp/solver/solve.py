@@ -416,8 +416,12 @@ def solve(
     n_orig = problem.n
     mask = np.arange(problem.m) < problem.m_ineq
     if mesh is None:
-        op, c, q, l, u = to_device_arrays(problem, dtype)
-        if matrix_format != "dense":
+        if matrix_format == "dense":
+            op, c, q, l, u = to_device_arrays(problem, dtype)
+        else:
+            # Build the operator FIRST and never materialise the dense
+            # matrix: the sparse path exists precisely for instances whose
+            # dense form does not fit HBM.
             import scipy.sparse as sp
 
             from tpdlp.ops.autotune import choose_operator
@@ -436,6 +440,10 @@ def solve(
                 raise ValueError(
                     f"unknown matrix_format: {matrix_format!r}"
                 )
+            c = jnp.asarray(problem.c, dtype)
+            q = jnp.asarray(problem.q, dtype)
+            l = jnp.asarray(problem.l, dtype)
+            u = jnp.asarray(problem.u, dtype)
     else:
         from tpdlp.ops.dense import DenseOp
         from tpdlp.shard.mesh import (
