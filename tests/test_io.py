@@ -211,3 +211,21 @@ def test_mps_write_read_roundtrip_property(seed):
     np.testing.assert_allclose(p2.l[fin], p.l[fin], rtol=1e-12)
     fin = np.isfinite(p.u)
     np.testing.assert_allclose(p2.u[fin], p.u[fin], rtol=1e-12)
+
+
+def test_timer_and_profile_trace(tmp_path, capsys):
+    import time as _time
+
+    from tpdlp import Timer, profile_trace
+
+    with Timer("unit"):
+        _time.sleep(0.01)
+    assert "unit" in capsys.readouterr().out
+
+    import tpdlp
+
+    p = tpdlp.generate_feasible_lp(n=10, m_ineq=6, m_eq=2, seed=0)
+    with profile_trace(tmp_path / "trace"):
+        tpdlp.solve(p, tpdlp.SolverConfig(tol=1e-4, max_kkt=200))
+    files = [f for _, _, fs in __import__("os").walk(tmp_path) for f in fs]
+    assert files, "profiler trace produced no files"

@@ -52,7 +52,6 @@ def _parse_sections(lines):
         "objsense": "MIN",
         "name": "",
     }
-    in_integer_block = False
     for raw in lines:
         line = raw.rstrip()
         if not line or line.lstrip().startswith(("*", "$")):
@@ -84,8 +83,7 @@ def _parse_sections(lines):
             data["rows"].append((sense, row_name))
         elif section == "COLUMNS":
             if len(tokens) >= 3 and tokens[1].upper() == "'MARKER'":
-                marker = tokens[2].upper().strip("'")
-                in_integer_block = marker == "INTORG"
+                # INTORG/INTEND integer markers: parsed as the LP relaxation.
                 continue
             var = tokens[0]
             for i in range(1, len(tokens) - 1, 2):
