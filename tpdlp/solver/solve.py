@@ -213,11 +213,11 @@ def default_dtype():
 
 
 #: Emulated-fp64 solver programs above this matrix element count FAULT the
-#: TPU worker on this backend (validated good at 1e7 elements, crashing at
-#: 4e7, dense path; applied to every matrix format conservatively — only
-#: dense was probed).  Guard with a clear error instead of killing the
-#: process.
-_F64_DENSE_ELEM_LIMIT = 16_000_000
+#: TPU worker on this backend (1e7 elements worked once then faulted on
+#: repeat; 1.7e6, maros-class, is repeatedly solid across the full
+#: battery).  Conservative limit, applied to every matrix format.  Guard
+#: with a clear error instead of killing the process.
+_F64_DENSE_ELEM_LIMIT = 4_000_000
 
 
 def _f64_guard(elems: int, dtype, what: str):
