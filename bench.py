@@ -8,13 +8,13 @@ with Ruiz scaling + adaptive stepsize + primal-weight update — the
 reference's headline configuration (BASELINE.md).  Ours runs on the
 available JAX device (TPU); the baseline is the reference torchPDLP
 implementation executed from its read-only mount on torch CPU with the
-same standard form and settings.  Iteration counts match exactly (algorithm
-parity), so the ratio is pure implementation speed.
+same standard form and settings.  Iteration counts are seed-dependent on
+both sides (the stepsize init is randomized), so the compared quantity is
+the iteration RATE, best of 3 seeded runs per side.
 
 value       = our PDHG iterations/s (end-to-end wall, includes scaling
               and power-iteration init)
 vs_baseline = our iterations/s / reference iterations/s
-              (equivalently wall-time speedup, since k matches)
 
 The raw fused-loop kernel rate is printed to stderr as a secondary line.
 """
@@ -36,24 +36,28 @@ def main():
     problem = next(
         p for p in build_suite(("large",)) if p.name == "mittelmann-s"
     )
-    # Best of 3 measured runs: the remote-tunnel TPU shows large
-    # run-to-run variance from chip/tunnel contention; best-of is the
-    # standard contention-robust estimator for a deterministic workload.
-    ours = min(
-        (run_ours(problem, TOL, MAX_KKT, "float32") for _ in range(3)),
-        key=lambda r: r["time"],
-    )
-    print(
-        f"[bench] ours: {ours['time']:.3f}s k={ours['iterations']} "
-        f"({ours['iters_per_sec']:.0f} it/s) status={ours['status']}",
-        file=sys.stderr,
-    )
+    # Best-of-3 measured runs, each with a DISTINCT seed: the remote-tunnel
+    # TPU shows large run-to-run variance from chip/tunnel contention
+    # (best-of is the contention-robust estimator), and its runtime caches
+    # byte-identical dispatches — distinct seeds perturb the power-iteration
+    # key so no repetition can hit that cache.  Rate, not wall time, is
+    # compared (iteration counts vary with the seed on both sides).
+    runs = [run_ours(problem, TOL, MAX_KKT, "float32", seed=s)
+            for s in range(3)]
+    ours = max(runs, key=lambda r: r["iters_per_sec"])
+    for s, r in enumerate(runs):
+        print(
+            f"[bench] ours seed={s}: {r['time']:.3f}s k={r['iterations']} "
+            f"({r['iters_per_sec']:.0f} it/s) status={r['status']}",
+            file=sys.stderr,
+        )
     try:
-        # Symmetric protocol: best of 3 for the reference as well.
-        refs = [run_reference(problem, tol=TOL, max_kkt=MAX_KKT)
-                for _ in range(3)]
+        # Symmetric protocol: best of 3 seeded runs for the reference (its
+        # stepsize init draws unseeded torch.rand; run_reference seeds it).
+        refs = [run_reference(problem, tol=TOL, max_kkt=MAX_KKT, seed=s)
+                for s in range(3)]
         refs = [r for r in refs if r is not None]
-        ref = min(refs, key=lambda r: r["time"]) if refs else None
+        ref = max(refs, key=lambda r: r["iters_per_sec"]) if refs else None
         if ref:
             print(
                 f"[bench] reference (torch cpu, best of 3): "

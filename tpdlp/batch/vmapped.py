@@ -154,7 +154,9 @@ def _batch_chunk_sync(sts, pbs, j_budget, cfg: SolverConfig):
             s,
         )
     )
-    restart = jax.vmap(lambda s, p: restart_check_gated(p, cfg, s))
+    restart = jax.vmap(
+        lambda s, p: restart_check_gated(p, cfg, s, j_budget=j_budget)
+    )
 
     def cond(carry):
         sts, _ = carry

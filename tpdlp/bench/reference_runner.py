@@ -15,9 +15,15 @@ REFERENCE_PATH = "/root/reference/PDLP"
 
 
 def run_reference(problem, tol=1e-4, max_kkt=100_000, precondition=True,
-                  adaptive=True, primal_update=True, time_limit=600):
+                  adaptive=True, primal_update=True, time_limit=600,
+                  seed=0):
     """Returns dict(time, iterations, kkt_passes, restarts, objective,
-    status) from the reference pdlp_algorithm, or None if unavailable."""
+    status) from the reference pdlp_algorithm, or None if unavailable.
+
+    `seed` controls torch's global PRNG: the reference's stepsize init
+    draws unseeded `torch.rand` (PDLP/helpers.py:43), which makes its
+    iteration count a random variable — seeding makes head-to-head rows
+    reproducible."""
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
     try:
@@ -31,6 +37,7 @@ def run_reference(problem, tol=1e-4, max_kkt=100_000, precondition=True,
         print(f"[baseline] reference unavailable: {e}", file=sys.stderr)
         return None
 
+    torch.manual_seed(seed)
     device = torch.device("cpu")
     K = torch.tensor(
         problem.K.toarray() if hasattr(problem.K, "toarray") else problem.K,

@@ -17,7 +17,7 @@ import sys
 import time
 
 
-def run_ours(problem, tol, max_kkt, dtype_name):
+def run_ours(problem, tol, max_kkt, dtype_name, seed=0):
     import jax.numpy as jnp
 
     from tpdlp import SolverConfig, solve
@@ -27,10 +27,13 @@ def run_ours(problem, tol, max_kkt, dtype_name):
         primal_weight_update=True, time_limit=600,
     )
     dtype = jnp.float32 if dtype_name == "float32" else jnp.float64
-    # Warm once for compile (per-shape cache), then measure.
-    r = solve(problem, cfg, dtype=dtype)
+    # Warm once for compile (per-shape cache), then measure.  The warm run
+    # uses a DIFFERENT seed: remote-tunnel TPU runtimes cache identical
+    # (fn, args) dispatches, so a byte-identical measured rerun would time
+    # the cache, not the device.
+    r = solve(problem, cfg, dtype=dtype, seed=seed + 7919)
     t0 = time.perf_counter()
-    r = solve(problem, cfg, dtype=dtype)
+    r = solve(problem, cfg, dtype=dtype, seed=seed)
     wall = time.perf_counter() - t0
     return {
         "time": wall,

@@ -212,15 +212,29 @@ def main(argv=None):
             time_used = 0.0
             x0 = y0 = None
             if args.fishnet:
+                import jax as _jax
+
                 from tpdlp.fishnet import spectral_cast
                 from tpdlp.problem import to_device_arrays
+                from tpdlp.scaling.ruiz import scale_problem
 
                 t0 = time.perf_counter()
                 dt = dtype if dtype is not None else default_dtype()
                 op, c, q, l, u = to_device_arrays(problem, dt)
-                x0, y0 = spectral_cast(
-                    op, c, q, l, u, problem.m_ineq, k=32, seed=args.seed
+                # Reference parity: the fishnet searches the SCALED problem
+                # (PDLP/main.py:106-120); the chosen point is mapped back to
+                # the original frame, which is solve()'s warm-start contract.
+                op_s, c_s, q_s, l_s, u_s, d_row, d_col = _jax.jit(
+                    lambda op, c, q, l, u: scale_problem(
+                        op, c, q, l, u, method=scaling
+                    )
+                )(op, c, q, l, u)
+                x0_s, y0_s = spectral_cast(
+                    op_s, c_s, q_s, l_s, u_s, problem.m_ineq,
+                    k=32, seed=args.seed,
                 )
+                x0 = np.asarray(d_col * x0_s)
+                y0 = np.asarray(d_row * y0_s)
                 time_used = time.perf_counter() - t0
                 if args.verbose:
                     print(f"Fishnet completed in {time_used:.4f}s")

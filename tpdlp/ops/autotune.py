@@ -5,10 +5,18 @@ pair in both representations on the target device and keep the faster one.
 Here the timed candidates are jitted closures (so the measured cost is the
 steady-state compiled kernel, not dispatch overhead), synchronised with a
 device->host read.
+
+Unlike the reference (which always holds both representations while
+timing), the dense candidate is only CONSIDERED when the dense matrix fits
+a memory budget — `matrix_format="auto"` must never OOM exactly the
+instances the sparse path exists for.  The dense candidate is built by an
+on-device COO scatter, so the dense array never materialises on the host
+either.
 """
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -19,6 +27,33 @@ import scipy.sparse as sp
 from tpdlp.ops.dense import DenseOp
 from tpdlp.ops.sparse import SparseOp
 
+#: Ceiling on the dense candidate's matrix bytes.  The solver holds the
+#: operator plus a scaled copy (donation collapses them) plus O(m+n)
+#: vectors; 4 GiB leaves comfortable headroom on a 16 GB-HBM chip and on
+#: typical hosts.  Override with TPDLP_DENSE_BYTES_BUDGET.
+_DENSE_BYTES_BUDGET = int(
+    os.environ.get("TPDLP_DENSE_BYTES_BUDGET", 4 << 30)
+)
+
+
+def dense_candidate_allowed(m: int, n: int, dtype, budget=None) -> bool:
+    """Would a dense (m, n) matrix of `dtype` fit the autotune budget?"""
+    budget = _DENSE_BYTES_BUDGET if budget is None else budget
+    return m * n * jnp.dtype(dtype).itemsize <= budget
+
+
+def _dense_from_coo(coo: sp.coo_matrix, dtype) -> DenseOp:
+    """Dense operator via on-device scatter of the COO triplets — the dense
+    array never exists in host memory (and the host->device transfer is
+    12 bytes/nnz, not 4 bytes/element)."""
+    m, n = coo.shape
+    mat = (
+        jnp.zeros((m, n), dtype)
+        .at[jnp.asarray(coo.row), jnp.asarray(coo.col)]
+        .add(jnp.asarray(coo.data, dtype))
+    )
+    return DenseOp(mat)
+
 
 def _time_op(op, kkt_passes: int = 10) -> float:
     m, n = op.shape
@@ -27,54 +62,85 @@ def _time_op(op, kkt_passes: int = 10) -> float:
     x = jax.random.normal(kx, (n,), dtype=op.dtype)
     y = jax.random.normal(ky, (m,), dtype=op.dtype)
 
+    # Chained SpMV pairs: each pass feeds the next, so a backend that
+    # caches identical dispatches (remote-tunnel TPU runtimes do) cannot
+    # short-circuit the work.
     @jax.jit
-    def pair(x, y):
-        return op.mv(x), op.rmv(y)
+    def chain(x, y):
+        def body(_, xy):
+            xv, yv = xy
+            kx_ = op.mv(xv)
+            kty = op.rmv(yv)
+            return (
+                xv + kty / (1.0 + jnp.max(jnp.abs(kty))),
+                yv + kx_ / (1.0 + jnp.max(jnp.abs(kx_))),
+            )
 
-    a, b = pair(x, y)  # compile + warm
+        return jax.lax.fori_loop(0, kkt_passes, body, (x, y))
+
+    a, b = chain(x, y)  # compile + warm
     float(a[0]); float(b[0])
     t0 = time.perf_counter()
-    for _ in range(kkt_passes):
-        a, b = pair(x, y)
+    a, b = chain(x, y + 1.0)  # perturbed: not a byte-identical dispatch
     float(a[0]); float(b[0])  # sync
     return time.perf_counter() - t0
 
 
 def choose_operator(K, dtype=jnp.float32, kkt_passes: int = 10,
-                    density_threshold: float = 0.25):
+                    density_threshold: float = 0.25,
+                    dense_bytes_budget=None):
     """Return (op, label): the fastest of DenseOp / SparseOp (BCOO) /
     BlockEllOp for K on the current backend.
 
-    Matrices denser than `density_threshold` skip the timing and go dense
-    (sparse formats cannot win there and the timing costs extra compiles).
-    On TPU the candidates are dense vs block-ELL (BCOO gathers are hostile
-    there); on CPU dense vs BCOO.
+    The dense candidate only contends when the dense matrix fits
+    `dense_bytes_budget` (default TPDLP_DENSE_BYTES_BUDGET, 4 GiB);
+    above that the choice is made among sparse layouts without ever
+    allocating m*n elements.  Matrices denser than `density_threshold`
+    skip the timing and go dense when allowed (sparse formats cannot win
+    there and the timing costs extra compiles).  On TPU the sparse
+    candidate is block-ELL (BCOO gathers are hostile there); on CPU, BCOO.
     """
     from tpdlp.ops.blocked import BlockEllOp
 
     if sp.issparse(K):
-        density = K.nnz / float(K.shape[0] * K.shape[1])
-        K_sp = K.tocsr()
+        coo = K.tocoo()
     else:
-        K = np.asarray(K)
-        density = float(np.count_nonzero(K)) / K.size
-        K_sp = sp.csr_matrix(K)
+        coo = sp.coo_matrix(np.asarray(K))
+    m, n = coo.shape
+    density = coo.nnz / float(m * n)
+    allow_dense = dense_candidate_allowed(m, n, dtype, dense_bytes_budget)
 
-    dense_op = DenseOp(jnp.asarray(
-        K.toarray() if sp.issparse(K) else K, dtype
-    ))
-    if density >= density_threshold:
-        return dense_op, "dense"
+    if allow_dense and density >= density_threshold:
+        return _dense_from_coo(coo, dtype), "dense"
 
-    candidates = [("dense", dense_op)]
+    candidates = []
+    if allow_dense:
+        candidates.append(("dense", _dense_from_coo(coo, dtype)))
     if jax.default_backend() == "tpu":
-        blocked = BlockEllOp.from_scipy(K_sp, dtype)
-        # Only contend if the padded tile stream actually saves bandwidth.
-        if blocked.fill_ratio() > density * 1.5:
+        blocked = BlockEllOp.from_scipy(coo.tocsr(), dtype)
+        itemsize = jnp.dtype(dtype).itemsize
+        stored_bytes = 2 * blocked.fwd.tiles.size * itemsize  # K and K'
+        if not allow_dense:
+            # No dense contender: block-ELL is the TPU sparse path unless
+            # its padding blows past the budget too, in which case BCOO
+            # (slow but compact) is the only representation that fits.
+            budget = (
+                _DENSE_BYTES_BUDGET
+                if dense_bytes_budget is None
+                else dense_bytes_budget
+            )
+            if stored_bytes > budget:
+                return SparseOp.from_scipy(coo.tocsr(), dtype), "sparse"
+            candidates.append(("blocked", blocked))
+        elif blocked.fill_ratio() > density * 1.5:
+            # Only contend if the padded tile stream saves bandwidth.
             candidates.append(("blocked", blocked))
     else:
-        candidates.append(("sparse", SparseOp.from_scipy(K_sp, dtype)))
+        candidates.append(("sparse", SparseOp.from_scipy(coo.tocsr(), dtype)))
 
+    if len(candidates) == 1:
+        label, op = candidates[0]
+        return op, label
     timed = [(_time_op(op, kkt_passes), label, op) for label, op in candidates]
     _, label, op = min(timed, key=lambda t: t[0])
     return op, label

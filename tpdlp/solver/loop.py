@@ -68,12 +68,24 @@ def _restart_check(pb, cfg: SolverConfig, st: PDHGState) -> PDHGState:
     kkt_min = jnp.minimum(kkt_cur, kkt_avg)
     use_avg = kkt_cur >= kkt_avg  # candidate choice (:133)
 
+    # fp32 divergence produces NaN/Inf iterates whose KKT error satisfies no
+    # restart criterion — without this check the loop would silently burn
+    # the whole KKT budget.  (The reference has the same blind spot.)
+    diverged = ~(jnp.isfinite(kkt_cur) & jnp.isfinite(kkt_avg))
+    st = st.replace(
+        status=jnp.where(
+            diverged & (st.status == jnp.int32(Status.RUNNING)),
+            jnp.int32(Status.NUMERICAL_ERROR),
+            st.status,
+        )
+    )
+
     sufficient = kkt_min <= cfg.beta_sufficient * st.kkt_first
     necessary = (kkt_min <= cfg.beta_necessary * st.kkt_first) & (
         kkt_min > kkt_prev
     )
     artificial = st.t.astype(dtype) >= cfg.beta_artificial * st.k.astype(dtype)
-    do_restart = sufficient | necessary | artificial
+    do_restart = (sufficient | necessary | artificial) & ~diverged
 
     def restart(st: PDHGState) -> PDHGState:
         sel = lambda a, b: jnp.where(use_avg, a, b)
@@ -163,6 +175,15 @@ def _restart_check_halpern(pb, cfg: SolverConfig, st: PDHGState) -> PDHGState:
     st = st.replace(j=st.j + 2)
 
     use_avg = kkt_f >= kkt_avg
+    # Divergence check — see _restart_check.
+    diverged = ~(jnp.isfinite(kkt_f) & jnp.isfinite(kkt_avg))
+    st = st.replace(
+        status=jnp.where(
+            diverged & (st.status == jnp.int32(Status.RUNNING)),
+            jnp.int32(Status.NUMERICAL_ERROR),
+            st.status,
+        )
+    )
     # cuPDLP+-style sufficient criterion: the omega-weighted FIXED-POINT
     # residual ||z - T(z)|| has decayed vs its value at the cycle start
     # (kkt_first holds that value in this scheme, measured at t == 1).
@@ -170,7 +191,7 @@ def _restart_check_halpern(pb, cfg: SolverConfig, st: PDHGState) -> PDHGState:
         st.fp_res <= cfg.beta_sufficient * st.kkt_first
     )
     artificial = st.t.astype(dtype) >= cfg.beta_artificial * st.k.astype(dtype)
-    do_restart = sufficient | artificial
+    do_restart = (sufficient | artificial) & ~diverged
 
     def restart(st: PDHGState) -> PDHGState:
         sel = lambda a, b: jnp.where(use_avg, a, b)
@@ -240,16 +261,25 @@ def _restart_for(cfg: SolverConfig):
     )
 
 
-def restart_check_gated(pb, cfg: SolverConfig, st: PDHGState) -> PDHGState:
+def restart_check_gated(
+    pb, cfg: SolverConfig, st: PDHGState, j_budget=None
+) -> PDHGState:
     """Restart check under the lockstep (global-period) schedule: fire when
     at least `restart_period` iterations have run since the last restart.
     Used by the batched solver, which evaluates this at global step
     boundaries so the (expensive) check amortises across the batch instead
-    of being select-executed every iteration under vmap."""
+    of being select-executed every iteration under vmap.
+
+    `j_budget` (the per-chunk KKT cap) keeps elements HELD at the budget
+    from being re-checked at every global boundary while they wait for
+    stragglers — without it a held element's KKT ledger inflates by 2-3
+    phantom passes per period and can burn max_kkt without iterating."""
     check = _restart_for(cfg)
     fire = (st.t >= cfg.restart_period) & (
         st.status == jnp.int32(Status.RUNNING)
     )
+    if j_budget is not None:
+        fire &= st.j < j_budget
     return jax.lax.cond(
         fire, lambda s: check(pb, cfg, s), lambda s: s, st
     )

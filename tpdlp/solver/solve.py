@@ -139,6 +139,15 @@ def _prepare_impl(op, c, q, l, u, ineq_mask, key, x0, y0, cfg: SolverConfig):
             compat_scaled_norms=cfg.compat_scaled_norms,
         )
     eta0, omega0 = eta_omega_of(pb, key, cfg)
+    # Warm-start points arrive in the ORIGINAL coordinate frame (solve()'s
+    # public contract; the reference likewise fishnets scaled data and feeds
+    # the scaled solver, PDLP/main.py:106-120).  The loop iterates in the
+    # scaled frame, so invert the unscale identity x = d_col * x_s here.
+    # d_row/d_col are ones when scaling == "none".
+    if x0 is not None:
+        x0 = x0 / d_col
+    if y0 is not None:
+        y0 = y0 / d_row
     st = init_state(pb, eta0, omega0, x0, y0)
     return pb, st
 
@@ -220,6 +229,27 @@ def default_dtype():
 _F64_DENSE_ELEM_LIMIT = 4_000_000
 
 
+def _f64_program_elems(problem, matrix_format: str) -> int:
+    """Matrix element count the emulated-fp64 program will actually buffer:
+    dense m*n for the dense format, nnz for sparse operators (their buffers
+    scale with stored entries, not the dense envelope).  "auto" may still
+    pick dense, so it is scored as dense unless that would densify an
+    operator the autotuner itself would never materialise."""
+    if matrix_format == "dense":
+        return problem.m * problem.n
+    nnz = problem.K.nnz if hasattr(problem.K, "nnz") else int(
+        np.count_nonzero(problem.K)
+    )
+    if matrix_format == "sparse":
+        return nnz
+    # auto: dense is only a candidate below the autotuner's memory budget.
+    from tpdlp.ops.autotune import dense_candidate_allowed
+
+    if dense_candidate_allowed(problem.m, problem.n, jnp.float64):
+        return problem.m * problem.n
+    return nnz
+
+
 def _f64_guard(elems: int, dtype, what: str):
     if (
         jax.default_backend() != "cpu"
@@ -273,7 +303,8 @@ def _solve_escalated(problem, cfg: SolverConfig, **kw):
         cfg2 = cfg2.replace(step_scheme="halpern", adaptive=False)
     if (
         kw.get("mesh") is None
-        and problem.m * problem.n > _F64_DENSE_ELEM_LIMIT
+        and _f64_program_elems(problem, kw.get("matrix_format", "dense"))
+        > _F64_DENSE_ELEM_LIMIT
     ):
         # The fp64 tail would fault this backend (see _F64_DENSE_ELEM_LIMIT);
         # report the uncertified-but-best-available fp32 result honestly.
@@ -319,6 +350,11 @@ def solve(
     log_history: bool = False,
 ) -> SolveResult:
     """Solve a standard-form LP with restarted PDHG.
+
+    `x0`/`y0` are warm-start points in the ORIGINAL (unscaled) coordinate
+    frame — the same frame `SolveResult.x/.y` are reported in, so a solve
+    can be warm-started directly from another's solution.  They are mapped
+    into the scaled frame internally.
 
     `time_used` is preprocessing time already spent (counts against
     config.time_limit, as in the reference's `time_used` threading,
@@ -409,7 +445,7 @@ def solve(
 
     if mesh is None:
         _f64_guard(
-            problem.m * problem.n, dtype,
+            _f64_program_elems(problem, matrix_format), dtype,
             f"a {problem.m} x {problem.n} LP",
         )
 
@@ -503,7 +539,11 @@ def solve(
     chunk = cfg.chunk_kkt_init
     planned = 0
     pending = []  # dispatched-but-unprobed chunk states, oldest first
-    fuse_first = mesh is None and not will_resume
+    # Never fuse iterations into the preprocessing dispatch when the wall
+    # clock is already spent — the solve must report TIME_LIMIT without
+    # first running a full chunk.
+    budget_spent = time.perf_counter() - start + time_used >= cfg.time_limit
+    fuse_first = mesh is None and not will_resume and not budget_spent
     if x0 is not None or y0 is not None:
         x0j = jnp.asarray(
             x0 if x0 is not None else np.zeros(op.shape[1]), dtype
