@@ -103,7 +103,13 @@ class _EllMat:
 
     def matvec(self, x):
         nb = -(-self.n // BC)
-        x_pad = jnp.zeros((nb * BC,), x.dtype).at[: self.n].set(x)
+        # Identity when n is already a whole number of 128-lane blocks
+        # (always true for mesh-padded problems — keeps sharded inputs
+        # scatter-free so GSPMD only inserts the all-gather).
+        if self.n == nb * BC:
+            x_pad = x
+        else:
+            x_pad = jnp.zeros((nb * BC,), x.dtype).at[: self.n].set(x)
         x_blk = x_pad.reshape(nb, BC)
         gathered = x_blk[self.col_idx]  # (mb, W, BC)
         y = jnp.einsum(
@@ -207,9 +213,19 @@ class BlockEllOp(LinOp):
 
     def _scale_mat(self, mat: _EllMat, d_row, d_col):
         mb, W = mat.col_idx.shape
-        dr_pad = jnp.zeros((mb * BR,), d_row.dtype).at[: mat.m].set(d_row)
+        if mat.m == mb * BR:
+            dr_pad = d_row
+        else:
+            dr_pad = (
+                jnp.zeros((mb * BR,), d_row.dtype).at[: mat.m].set(d_row)
+            )
         nb = -(-mat.n // BC)
-        dc_pad = jnp.zeros((nb * BC,), d_col.dtype).at[: mat.n].set(d_col)
+        if mat.n == nb * BC:
+            dc_pad = d_col
+        else:
+            dc_pad = (
+                jnp.zeros((nb * BC,), d_col.dtype).at[: mat.n].set(d_col)
+            )
         dc_blk = dc_pad.reshape(nb, BC)[mat.col_idx]  # (mb, W, BC)
         tiles = (
             mat.tiles

@@ -62,6 +62,21 @@ def problem_shardings(mesh: Mesh):
     return mat, yvec, xvec, rep
 
 
+def flat_shardings(mesh: Mesh):
+    """Shardings for the SPARSE (block-ELL) layout: both mesh axes are
+    flattened into ONE partition axis, so each of K and K' is 1D
+    row-strip-partitioned across ALL devices (memory nnz/N per device per
+    matrix, vs nnz/R + nnz/C for a 2D split).  Vectors in both spaces ride
+    the same flat axis.  Per iteration GSPMD then inserts exactly one
+    collective per SpMV: all-gather of the gathered-side vector; the
+    output strips are already local.
+    """
+    strip = NamedSharding(mesh, P((ROW, COL)))  # tiles axis 0 / col_idx
+    vec = NamedSharding(mesh, P((ROW, COL)))
+    rep = NamedSharding(mesh, P())
+    return strip, vec, rep
+
+
 def _pad_to(v, size, fill=0.0):
     pad = size - v.shape[0]
     if pad == 0:
@@ -75,6 +90,42 @@ def padded_sizes(m: int, n: int, mesh: Mesh) -> tuple[int, int]:
     return (-(-m // r)) * r, (-(-n // c)) * c
 
 
+def padded_sizes_sparse(m: int, n: int, mesh: Mesh) -> tuple[int, int]:
+    """Padded sizes for the sharded block-ELL layout.
+
+    Both dimensions pad to a multiple of L = lcm(128, 8 * lcm(8, N)) so
+    that (a) the 8-row strip count of K and of K' is divisible by the flat
+    device count N *and* by 8 (the Pallas sublane constraint baked into
+    _build_ell), and (b) each dimension is a whole number of 128-lane
+    column blocks — every reshape in the SpMV then preserves the sharding
+    and every trailing slice is an identity.
+    """
+    N = mesh.shape[ROW] * mesh.shape[COL]
+    L = math.lcm(128, 8 * math.lcm(8, N))
+    return (-(-m // L)) * L, (-(-n // L)) * L
+
+
+def shard_block_ell(op, mesh: Mesh):
+    """Place a BlockEllOp on the mesh: K's and K''s tile arrays are
+    1D-partitioned along the row-strip axis over ALL devices (the mesh
+    axes flattened)."""
+    import dataclasses
+
+    strip_s, _, _ = flat_shardings(mesh)
+    put = jax.device_put
+
+    def place(mat):
+        return dataclasses.replace(
+            mat,
+            tiles=put(mat.tiles, strip_s),
+            col_idx=put(mat.col_idx, strip_s),
+        )
+
+    out = dataclasses.replace(op, fwd=place(op.fwd), bwd=place(op.bwd))
+    out._nnz = getattr(op, "_nnz", None)
+    return out
+
+
 def shard_device_problem(pb, mesh: Mesh):
     """Place a DeviceProblem's arrays onto the mesh.
 
@@ -85,16 +136,27 @@ def shard_device_problem(pb, mesh: Mesh):
     contribution is min(0-0, 0) = 0); padded bounds l=u=0 fix padded
     variables at zero.
     """
-    mat_s, yvec_s, xvec_s, rep_s = problem_shardings(mesh)
-    put = jax.device_put
     import dataclasses
 
+    from tpdlp.ops.blocked import BlockEllOp
     from tpdlp.ops.dense import DenseOp
 
-    assert isinstance(pb.op, DenseOp), "sharding currently covers DenseOp"
+    put = jax.device_put
+    if isinstance(pb.op, BlockEllOp):
+        # Sparse layout: flat 1D partition for the operator AND both vector
+        # spaces (see flat_shardings).
+        _, vec_s, rep_s = flat_shardings(mesh)
+        yvec_s = xvec_s = vec_s
+        op_sharded = shard_block_ell(pb.op, mesh)
+    else:
+        assert isinstance(pb.op, DenseOp), (
+            f"sharding covers DenseOp and BlockEllOp, got {type(pb.op)}"
+        )
+        mat_s, yvec_s, xvec_s, rep_s = problem_shardings(mesh)
+        op_sharded = DenseOp(put(pb.op.mat, mat_s))
     return dataclasses.replace(
         pb,
-        op=DenseOp(put(pb.op.mat, mat_s)),
+        op=op_sharded,
         c=put(pb.c, xvec_s),
         q=put(pb.q, yvec_s),
         l=put(pb.l, xvec_s),
@@ -129,12 +191,18 @@ _Y_FIELDS = frozenset({
 })
 
 
-def shard_state(st: PDHGState, mesh: Mesh) -> PDHGState:
-    """Place a PDHGState's arrays onto the mesh (x-space on "col",
-    y-space on "row", scalars replicated)."""
+def shard_state(st: PDHGState, mesh: Mesh, layout: str = "2d") -> PDHGState:
+    """Place a PDHGState's arrays onto the mesh (layout "2d": x-space on
+    "col", y-space on "row"; layout "flat": both spaces on the flattened
+    device axis, matching the sharded block-ELL operator), scalars
+    replicated."""
     import dataclasses as _dc
 
-    _, yvec_s, xvec_s, rep_s = problem_shardings(mesh)
+    if layout == "flat":
+        _, vec_s, rep_s = flat_shardings(mesh)
+        yvec_s = xvec_s = vec_s
+    else:
+        _, yvec_s, xvec_s, rep_s = problem_shardings(mesh)
     kwargs = {}
     for f in _dc.fields(st):
         v = getattr(st, f.name)
@@ -148,19 +216,27 @@ def shard_state(st: PDHGState, mesh: Mesh) -> PDHGState:
     return PDHGState(**kwargs)
 
 
-def pad_problem_arrays(K, c, q, l, u, ineq_mask, m_pad: int, n_pad: int):
-    """Zero-pad problem arrays to (m_pad, n_pad) with exactness-preserving
-    fills: K zero-padded; q zero; padded rows marked as inequalities (their
-    residual min(0, 0) vanishes); padded variables fixed at 0 (l = u = 0)."""
-    m, n = K.shape
-    K_p = np.zeros((m_pad, n_pad), dtype=K.dtype)
-    K_p[:m, :n] = K
+def pad_vectors(c, q, l, u, ineq_mask, m_pad: int, n_pad: int):
+    """Exactness-preserving zero-padding of the problem vectors: q zero;
+    padded rows marked as inequalities (their residual min(0, 0) vanishes);
+    padded variables fixed at 0 (l = u = 0)."""
     c_p = _pad_to(c, n_pad)
     q_p = _pad_to(q, m_pad)
     l_p = _pad_to(l, n_pad)
     u_p = _pad_to(u, n_pad)
     mask_p = np.concatenate(
-        [np.asarray(ineq_mask), np.ones(m_pad - m, dtype=bool)]
+        [np.asarray(ineq_mask), np.ones(m_pad - len(q), dtype=bool)]
+    )
+    return c_p, q_p, l_p, u_p, mask_p
+
+
+def pad_problem_arrays(K, c, q, l, u, ineq_mask, m_pad: int, n_pad: int):
+    """pad_vectors plus the zero-padded dense K."""
+    m, n = K.shape
+    K_p = np.zeros((m_pad, n_pad), dtype=K.dtype)
+    K_p[:m, :n] = K
+    c_p, q_p, l_p, u_p, mask_p = pad_vectors(
+        c, q, l, u, ineq_mask, m_pad, n_pad
     )
     return K_p, c_p, q_p, l_p, u_p, mask_p
 

@@ -481,31 +481,74 @@ def solve(
             l = jnp.asarray(problem.l, dtype)
             u = jnp.asarray(problem.u, dtype)
     else:
+        import scipy.sparse as sp
+
+        from tpdlp.ops.autotune import dense_candidate_allowed
+        from tpdlp.ops.blocked import BlockEllOp
         from tpdlp.ops.dense import DenseOp
         from tpdlp.shard.mesh import (
+            flat_shardings,
             pad_problem_arrays,
+            pad_vectors,
             padded_sizes,
+            padded_sizes_sparse,
+            problem_shardings,
+            shard_block_ell,
             shard_device_problem,
             shard_state,
         )
 
-        K = problem.K.toarray() if hasattr(problem.K, "toarray") else problem.K
-        K = np.asarray(K, dtype)
-        m, n = K.shape
-        m_pad, n_pad = padded_sizes(m, n, mesh)
-        K_p, c_p, q_p, l_p, u_p, mask = pad_problem_arrays(
-            K,
+        m, n = problem.m, problem.n
+        # Mesh layout choice: "dense" -> 2D block partition of the dense
+        # matrix; "sparse" -> block-ELL with a flat 1D row-strip partition
+        # (the path for single LPs too big to densify, SURVEY §2.3);
+        # "auto" -> dense only while the dense matrix fits the memory
+        # budget, sparse beyond it.
+        sparse_mesh = matrix_format == "sparse" or (
+            matrix_format == "auto"
+            and not dense_candidate_allowed(m, n, dtype)
+        )
+        if sparse_mesh:
+            m_pad, n_pad = padded_sizes_sparse(m, n, mesh)
+            coo = (
+                problem.K.tocoo()
+                if sp.issparse(problem.K)
+                else sp.coo_matrix(np.asarray(problem.K))
+            )
+            coo = sp.coo_matrix(
+                (coo.data, (coo.row, coo.col)), shape=(m_pad, n_pad)
+            )
+            # Build sharded from the start so no single device ever holds
+            # the whole operator (preprocessing runs distributed too).
+            op = shard_block_ell(BlockEllOp.from_scipy(coo, dtype), mesh)
+            _, vec_s, _ = flat_shardings(mesh)
+            yvec_s = xvec_s = vec_s
+        else:
+            K = (
+                problem.K.toarray()
+                if hasattr(problem.K, "toarray")
+                else problem.K
+            )
+            K = np.asarray(K, dtype)
+            m_pad, n_pad = padded_sizes(m, n, mesh)
+            mat_s, yvec_s, xvec_s, _ = problem_shardings(mesh)
+        c_p, q_p, l_p, u_p, mask = pad_vectors(
             np.asarray(problem.c, dtype), np.asarray(problem.q, dtype),
             np.asarray(problem.l, dtype), np.asarray(problem.u, dtype),
             mask, m_pad, n_pad,
         )
+        if not sparse_mesh:
+            K_p = np.zeros((m_pad, n_pad), dtype=K.dtype)
+            K_p[:m, :n] = K
+            op = DenseOp(jax.device_put(jnp.asarray(K_p), mat_s))
         if x0 is not None:
             x0 = np.concatenate([np.asarray(x0), np.zeros(n_pad - n)])
         if y0 is not None:
             y0 = np.concatenate([np.asarray(y0), np.zeros(m_pad - m)])
-        op = DenseOp(jnp.asarray(K_p))
-        c, q = jnp.asarray(c_p), jnp.asarray(q_p)
-        l, u = jnp.asarray(l_p), jnp.asarray(u_p)
+        c = jax.device_put(jnp.asarray(c_p), xvec_s)
+        q = jax.device_put(jnp.asarray(q_p), yvec_s)
+        l = jax.device_put(jnp.asarray(l_p), xvec_s)
+        u = jax.device_put(jnp.asarray(u_p), xvec_s)
 
     key = jax.random.PRNGKey(seed)
     mask_j = jnp.asarray(mask)
@@ -591,7 +634,7 @@ def solve(
         resumed = True
     if mesh is not None:
         pb = shard_device_problem(pb, mesh)
-        st = shard_state(st, mesh)
+        st = shard_state(st, mesh, layout="flat" if sparse_mesh else "2d")
 
     timed_out = False
     history = [] if log_history else None
