@@ -301,22 +301,32 @@ def _solve_escalated(problem, cfg: SolverConfig, **kw):
     cfg2 = base.replace(max_kkt=kkt_left)
     if auto:
         cfg2 = cfg2.replace(step_scheme="halpern", adaptive=False)
-    if (
-        kw.get("mesh") is None
-        and _f64_program_elems(problem, kw.get("matrix_format", "dense"))
-        > _F64_DENSE_ELEM_LIMIT
-    ):
-        # The fp64 tail would fault this backend (see _F64_DENSE_ELEM_LIMIT);
-        # report the uncertified-but-best-available fp32 result honestly.
-        warnings.warn(
-            "precision escalation skipped the fp64 tail: the problem "
-            "exceeds this TPU backend's emulated-fp64 program limit; "
-            "returning the fp32 stage result with status KKT_LIMIT "
-            f"(certified only to {cfg.escalation_tol:g})",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-        return dataclasses.replace(s1, status=Status.KKT_LIMIT)
+    elems = _f64_program_elems(problem, kw.get("matrix_format", "dense"))
+    if kw.get("mesh") is None and elems > _F64_DENSE_ELEM_LIMIT:
+        n_dev = len(jax.devices())
+        nnz = _f64_program_elems(problem, "sparse")
+        if n_dev > 1 and nnz // n_dev <= _F64_DENSE_ELEM_LIMIT:
+            # Route the fp64 tail through a sharded sparse solve: the
+            # block-ELL tiles are 1D-partitioned over all devices, so the
+            # per-device emulated-fp64 buffers drop to ~nnz/N — under the
+            # single-chip program limit that made the unsharded tail fault.
+            from tpdlp.shard import make_solver_mesh
+
+            kw2["mesh"] = make_solver_mesh()
+            kw2["matrix_format"] = "sparse"
+        else:
+            # Single device (or still over the limit even sharded): report
+            # the uncertified-but-best-available fp32 result honestly.
+            warnings.warn(
+                "precision escalation skipped the fp64 tail: the problem "
+                "exceeds this TPU backend's emulated-fp64 program limit "
+                "and no multi-device mesh is available to shard it; "
+                "returning the fp32 stage result with status KKT_LIMIT "
+                f"(certified only to {cfg.escalation_tol:g})",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return dataclasses.replace(s1, status=Status.KKT_LIMIT)
     s2 = solve(
         problem, cfg2, dtype=jnp.float64,
         x0=s1.x, y0=s1.y, **kw2,
@@ -447,6 +457,14 @@ def solve(
         _f64_guard(
             _f64_program_elems(problem, matrix_format), dtype,
             f"a {problem.m} x {problem.n} LP",
+        )
+    else:
+        # Sharded: the fp64 buffers are partitioned, so the per-device
+        # share is what the program-size limit applies to.
+        _f64_guard(
+            _f64_program_elems(problem, matrix_format) // mesh.size, dtype,
+            f"a {problem.m} x {problem.n} LP (per-device share on a "
+            f"{mesh.size}-device mesh)",
         )
 
     n_orig = problem.n
