@@ -35,3 +35,39 @@ def solve_oracle(problem):
         bounds=bounds,
         method="highs",
     )
+
+
+def dual_violation(problem, x, y):
+    """Max KKT violation of a primal-dual pair on the ORIGINAL problem.
+
+    Checks (standard form min c'x s.t. Gx >= h, Ax = b, l <= x <= u):
+      - inequality duals nonnegative,
+      - dual residual ||(c - K'y) - lambda||_inf with lambda the projection
+        of the reduced cost onto the normal cone of [l, u]
+        (reference PDLP/helpers.py:3-39),
+      - strong duality |c'x - (q'y + l'max(lam,0) + u'min(lam,0))|.
+    Returns the max of the three (relative where natural).
+    """
+    K = problem.K
+    if not sp.issparse(K):
+        K = sp.csr_matrix(K)
+    y = np.asarray(y, float)
+    x = np.asarray(x, float)
+    grad = problem.c - K.T @ y
+    neg = np.isneginf(problem.l)
+    pos = np.isposinf(problem.u)
+    lam = np.where(neg & ~pos, np.minimum(grad, 0.0), grad)
+    lam = np.where(pos & ~neg, np.maximum(grad, 0.0), lam)
+    lam = np.where(neg & pos, 0.0, lam)
+    dual_res = np.max(np.abs(grad - lam)) if lam.size else 0.0
+    y_neg = max(0.0, float(np.max(-y[: problem.m_ineq], initial=0.0)))
+    l_fin = np.where(np.isfinite(problem.l), problem.l, 0.0)
+    u_fin = np.where(np.isfinite(problem.u), problem.u, 0.0)
+    adjusted = float(
+        problem.q @ y
+        + l_fin @ np.maximum(lam, 0.0)
+        + u_fin @ np.minimum(lam, 0.0)
+    )
+    prim = float(problem.c @ x)
+    gap = abs(prim - adjusted) / (1.0 + abs(prim) + abs(adjusted))
+    return max(dual_res / (1.0 + np.max(np.abs(problem.c))), y_neg, gap)

@@ -46,7 +46,8 @@ def test_singleton_rows_become_bounds():
     # reduction the engine now proves it outright.
     assert r.status == Status.PRIMAL_INFEASIBLE
     assert r.rows_removed >= 2
-    assert 1 in r.data.fixed_idx.tolist()
+    # (Since round 2 the row-activity pass proves infeasibility before the
+    # fixed-variable substitution runs, so fixed_idx may stay empty.)
 
 
 def test_empty_row_infeasible():
@@ -214,11 +215,16 @@ def test_free_singleton_column_substitution():
         [10, 10, np.inf],
     )
     r = presolve(p)
-    assert len(r.data.subst_idx) == 1 and r.data.subst_idx[0] == 2
+    # A kind-0 substitution entry must exist (since round 2 the activity
+    # pass may bound x2 first, in which case the doubleton pass eliminates
+    # x1 through the same row instead — either way one variable is
+    # substituted out through the equality row).
+    assert (r.data.subst_kind == 0).sum() == 1
+    assert r.data.subst_row[r.data.subst_kind == 0][0] == 1  # the eq row
     oracle = solve_oracle(p)
     if r.status == Status.RUNNING:
-        assert r.problem.n == 2  # x2 eliminated
-        s = solve(r.problem, SolverConfig(tol=1e-9))
+        assert r.problem.n <= 2  # one variable eliminated
+        s = solve(r.problem, SolverConfig(tol=1e-9, abs_gap_termination=True))
         x = postsolve(s.x, r.data)
     else:
         assert r.status == Status.SOLVED
@@ -265,7 +271,7 @@ def test_parallel_columns_merge_and_split():
     assert (r.data.subst_kind == 1).sum() >= 1
     oracle = solve_oracle(p)
     if r.status == Status.RUNNING:
-        s = solve(r.problem, SolverConfig(tol=1e-9))
+        s = solve(r.problem, SolverConfig(tol=1e-9, abs_gap_termination=True))
         x = postsolve(s.x, r.data)
     else:
         assert r.status == Status.SOLVED
@@ -293,7 +299,7 @@ def test_parallel_columns_negative_lambda_and_inf_bounds():
     r = presolve(p)
     oracle = solve_oracle(p)
     if r.status == Status.RUNNING:
-        s = solve(r.problem, SolverConfig(tol=1e-9))
+        s = solve(r.problem, SolverConfig(tol=1e-9, abs_gap_termination=True))
         x = postsolve(s.x, r.data)
     else:
         assert r.status == Status.SOLVED
@@ -309,7 +315,7 @@ def test_parallel_columns_negative_lambda_and_inf_bounds():
     if r2.status == Status.RUNNING:
         assert not (r2.data.subst_kind == 1).any() or r2.problem.n == 2
     s2 = (
-        solve(r2.problem, SolverConfig(tol=1e-9))
+        solve(r2.problem, SolverConfig(tol=1e-9, abs_gap_termination=True))
         if r2.status == Status.RUNNING
         else None
     )
@@ -317,3 +323,152 @@ def test_parallel_columns_negative_lambda_and_inf_bounds():
         s2.x if s2 is not None else np.zeros(0), r2.data
     )
     assert float(p2.c @ x2) == pytest.approx(solve_oracle(p2).fun, abs=1e-4)
+
+
+# ---- round-2 reductions: row activities, doubletons, dominated rows ----
+
+
+@pytest.mark.parametrize("backend", ["python", "cpp"])
+def test_row_activity_redundant_row_removed(backend):
+    # x0 + x1 >= -10 with x in [0,1]^2: min activity 0 beats the rhs, so
+    # the row is redundant; the cascade then solves the LP outright.
+    p = _lp([1, 1], [[1, 1]], [-10], 1, [0, 0], [1, 1])
+    r = presolve(p, backend=backend)
+    assert r.status == Status.SOLVED
+    assert r.rows_removed == 1
+    x = postsolve(np.zeros(0), r.data)
+    np.testing.assert_allclose(x, [0.0, 0.0], atol=1e-12)
+
+
+@pytest.mark.parametrize("backend", ["python", "cpp"])
+def test_row_activity_proves_infeasible(backend):
+    # x0 + x1 >= 5 with x in [0,1]^2: max activity 2 < 5.
+    p = _lp([1, 1], [[1, 1]], [5], 1, [0, 0], [1, 1])
+    r = presolve(p, backend=backend)
+    assert r.status == Status.PRIMAL_INFEASIBLE
+
+
+@pytest.mark.parametrize("backend", ["python", "cpp"])
+def test_row_activity_bound_tightening_with_dual_recovery(backend):
+    # x0 + x1 >= 3, x0 in [0,10], x1 in [0,1]: the activity pass tightens
+    # l0 to 2 (a kind-2 bound transfer); the cascade fixes x1 at its upper
+    # bound and solves the LP.  The dual sweep must route x0's leftover
+    # reduced cost back onto the dropped row: y = c0 / a = 1.
+    from tpdlp.presolve import postsolve_dual
+
+    p = _lp([1.0, 0.0], [[1, 1]], [3], 1, [0, 0], [10, 1])
+    r = presolve(p, backend=backend)
+    assert r.status == Status.SOLVED
+    assert (r.data.subst_kind == 2).any()
+    x = postsolve(np.zeros(0), r.data)
+    np.testing.assert_allclose(x, [2.0, 1.0], atol=1e-9)
+    y = postsolve_dual(np.zeros(0), x, r.data)
+    np.testing.assert_allclose(y, [1.0], atol=1e-9)
+
+
+@pytest.mark.parametrize("backend", ["python", "cpp"])
+def test_doubleton_equation_eliminated(backend):
+    # Equality 2 x0 + x1 = 4 with x0's implied interval [1.5, 2] inside its
+    # box: x0 is substituted through the row (kind-0 entry), the inequality
+    # row x0 + x2 >= 1 absorbing the fill-in.  Cascade solves the LP.
+    from tpdlp.presolve import postsolve_dual
+
+    p = _lp(
+        [1.0, 0.5, 0.2],
+        [[1, 0, 1], [2, 1, 0]],
+        [1, 4],
+        1,
+        [-100, 0, 0],
+        [100, 1, 5],
+    )
+    o = solve_oracle(p)
+    r = presolve(p, backend=backend)
+    assert (r.data.subst_kind == 0).any()
+    if r.status == Status.RUNNING:
+        s = solve(r.problem, SolverConfig(tol=1e-9, abs_gap_termination=True))
+        x = postsolve(s.x, r.data)
+    else:
+        assert r.status == Status.SOLVED
+        x = postsolve(np.zeros(0), r.data)
+    np.testing.assert_allclose(x, o.x, atol=1e-6)
+    np.testing.assert_allclose(float(p.c @ x), o.fun, rtol=1e-8)
+    if r.status == Status.SOLVED:
+        # Stationarity of the eliminated x0 pins the removed eq row's dual:
+        # y_eq = (c0 - y_ineq) / 2 = 0.5 (the ineq row is slack).
+        y = postsolve_dual(np.zeros(0), x, r.data)
+        np.testing.assert_allclose(y, [0.0, 0.5], atol=1e-9)
+
+
+@pytest.mark.parametrize("backend", ["python", "cpp"])
+def test_duplicate_rows_equality_dominates_inequality(backend):
+    # [1,1] x >= 1 is dominated by the parallel equality [2,2] x = 4.
+    p = _lp(
+        [1, 2], [[1, 1], [2, 2]], [1, 4], 1, [0, 0], [5, 5]
+    )
+    o = solve_oracle(p)
+    r = presolve(p, backend=backend)
+    assert r.rows_removed >= 1
+    if r.status == Status.RUNNING:
+        s = solve(r.problem, SolverConfig(tol=1e-9, abs_gap_termination=True))
+        x = postsolve(s.x, r.data)
+    else:
+        assert r.status == Status.SOLVED
+        x = postsolve(np.zeros(0), r.data)
+    assert float(p.c @ x) == pytest.approx(o.fun, abs=1e-6)
+
+
+@pytest.mark.parametrize("backend", ["python", "cpp"])
+def test_duplicate_rows_equality_contradicts_inequality(backend):
+    # [1,1] x >= 3 cannot hold when [2,2] x = 4 pins [1,1] x at 2.
+    p = _lp(
+        [1, 2], [[1, 1], [2, 2]], [3, 4], 1, [0, 0], [5, 5]
+    )
+    r = presolve(p, backend=backend)
+    assert r.status == Status.PRIMAL_INFEASIBLE
+
+
+@pytest.mark.parametrize("backend", ["python", "cpp"])
+def test_duplicate_rows_antiparallel_contradiction(backend):
+    # x0 + x1 >= 1 and -(x0 + x1) >= -0.5 form an empty range pair.
+    # (Free bounds keep the activity pass from claiming it first.)
+    p = _lp(
+        [1, 1], [[1, 1], [-1, -1]], [1, -0.5], 2,
+        [-np.inf, -np.inf], [np.inf, np.inf],
+    )
+    r = presolve(p, backend=backend)
+    assert r.status == Status.PRIMAL_INFEASIBLE
+
+
+@pytest.mark.parametrize("backend", ["python", "cpp"])
+def test_duplicate_rows_rhs_winner_moves_dual(backend):
+    # Duplicate inequalities where the DROPPED row's scaled rhs (4/2 = 2)
+    # is the binding one: a kind-3 entry moves the recovered dual onto the
+    # dropped row, scaled by lam.  The equality row x0 = x1 breaks column
+    # proportionality so the parallel-columns pass cannot pre-empt the
+    # duplicate-row pass.
+    from tests.oracles import dual_violation
+    from tpdlp.presolve import postsolve_dual
+
+    p = _lp(
+        [1, 1, 1],
+        [[1, 1, 1], [2, 2, 2], [1, -1, 0.5]],
+        [1, 4, 0],
+        2,
+        [0, 0, 0],
+        [5, 5, 5],
+    )
+    o = solve_oracle(p)
+    r = presolve(p, backend=backend)
+    assert (r.data.subst_kind == 3).any()
+    if r.status == Status.RUNNING:
+        s = solve(r.problem, SolverConfig(tol=1e-9, abs_gap_termination=True))
+        x = postsolve(s.x, r.data)
+        y = postsolve_dual(s.y, x, r.data)
+    else:
+        assert r.status == Status.SOLVED
+        x = postsolve(np.zeros(0), r.data)
+        y = postsolve_dual(np.zeros(0), x, r.data)
+    assert float(p.c @ x) == pytest.approx(o.fun, abs=1e-6)
+    # Kept row carries no weight; the pair is KKT-consistent.
+    assert y[0] == pytest.approx(0.0, abs=1e-6)
+    assert dual_violation(p, x, y) < 1e-5

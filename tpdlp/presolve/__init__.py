@@ -1,9 +1,12 @@
-from tpdlp.presolve.reductions import presolve, postsolve, PostsolveData
+from tpdlp.presolve.reductions import (
+    presolve, postsolve, postsolve_dual, PostsolveData,
+)
 from tpdlp.presolve.files import presolve_mps, postsolve_solution
 
 __all__ = [
     "presolve",
     "postsolve",
+    "postsolve_dual",
     "PostsolveData",
     "presolve_mps",
     "postsolve_solution",

@@ -9,22 +9,33 @@
 //
 // Passes, iterated to a fixpoint (bounded by max_passes):
 //   1. empty rows        -> drop, or PRIMAL_INFEASIBLE on contradictions
-//   2. singleton rows    -> variable bound updates, drop row
-//   3. empty columns     -> fix at the cost-optimal bound (DUAL_INFEASIBLE
+//   2. singleton rows    -> variable bound updates, drop row (kind-2 dual
+//                           entries record the bound transfer)
+//   3. row activities    -> redundant-row removal, activity-based
+//                           infeasibility, and bound tightening (PaPILO's
+//                           ConstraintPropagation family)
+//   4. empty columns     -> fix at the cost-optimal bound (DUAL_INFEASIBLE
 //                           when that bound is infinite)
-//   4. fixed variables   -> substitute into rhs, accumulate obj offset
-//   5. dominated columns -> duality fixing at a bound (DUAL_INFEASIBLE when
+//   5. fixed variables   -> substitute into rhs, accumulate obj offset
+//   6. dominated columns -> duality fixing at a bound (DUAL_INFEASIBLE when
 //                           the forced bound is infinite with strict cost)
-//   6. free column singletons in equality rows -> substituted out via the
+//   7. free column singletons in equality rows -> substituted out via the
 //                           row (postsolve substitution stack)
-//   7. parallel columns  -> proportional columns with consistent costs
+//   8. doubleton equations (PaPILO DoubletonEq) -> implied-free variable in
+//                           a 2-nnz equality row substituted through it
+//   9. parallel columns  -> proportional columns with consistent costs
 //                           merged (postsolve split entry)
-//   8. duplicate rows    -> proportional rows merged (tighter rhs for
-//                           inequalities; contradiction check for equalities)
+//  10. duplicate rows    -> proportional rows merged (tighter rhs for
+//                           inequalities, kind-3 dual entry when the
+//                           dropped rhs wins; eq/ineq domination;
+//                           contradiction checks)
 //
-// Exposed via a C ABI (ctypes); the postsolve transformation (surviving-
-// column map, fixed values, objective offset) is primal, matching the
-// reference's `postsolve_solution` semantics (papilo_wrapper.cpp:37-45).
+// Exposed via a C ABI (ctypes).  The postsolve transformation carries both
+// the primal data (surviving-column map, fixed values, objective offset,
+// substitution stack) matching the reference's `postsolve_solution`
+// semantics (papilo_wrapper.cpp:37-45), and the round-2 dual-recovery
+// extension: per-entry removed-row ids, cost and column snapshots, and the
+// surviving-row map, mirroring PostsolveData in reductions.py.
 
 #include <cmath>
 #include <cstdint>
@@ -51,10 +62,11 @@ struct Entry {
 };
 
 struct Problem {
-  std::vector<std::vector<Entry>> rows;
+  std::vector<std::vector<Entry>> rows;  // sorted by col within each row
   std::vector<uint8_t> is_ineq;
   std::vector<double> c, q, l, u;
   std::vector<int64_t> orig_cols;
+  std::vector<int64_t> orig_rows;
 };
 
 struct Result {
@@ -62,24 +74,64 @@ struct Result {
   Problem p;
   std::vector<int64_t> fixed_idx;
   std::vector<double> fixed_val;
-  // Transform stack (CSR-like layout), chronological.  kind 0 = linear
-  // substitution (free column singleton); kind 1 = parallel-column split.
+  // Transform stack (CSR-like layout), chronological; kinds as in
+  // reductions.py: 0 = linear substitution, 1 = parallel-column split,
+  // 2 = bound transfer (dual-only), 3 = duplicate-row rhs winner
+  // (dual-only).
   std::vector<int8_t> subst_kind;
   std::vector<int64_t> subst_idx;
   std::vector<double> subst_scale, subst_rhs;
   std::vector<int64_t> subst_indptr{0};
   std::vector<int64_t> subst_cols;
   std::vector<double> subst_vals;
+  // Dual-recovery extension (per entry; parallel to subst_idx).
+  std::vector<int64_t> subst_row;
+  std::vector<double> subst_cj;
+  std::vector<int8_t> subst_flag;
+  std::vector<int64_t> dcol_indptr{0};
+  std::vector<int64_t> dcol_rows;
+  std::vector<double> dcol_vals;
   double obj_offset = 0.0;
   int64_t rows_removed = 0;
   int64_t cols_removed = 0;
   int passes = 0;
+
+  // Append the scalar fields of one stack entry; the caller then pushes
+  // into subst_cols/subst_vals and dcol_rows/dcol_vals and calls seal().
+  void push_entry(int8_t kind, int64_t idx, double scale, double rhs,
+                  int64_t row, double cj, int8_t flag) {
+    subst_kind.push_back(kind);
+    subst_idx.push_back(idx);
+    subst_scale.push_back(scale);
+    subst_rhs.push_back(rhs);
+    subst_row.push_back(row);
+    subst_cj.push_back(cj);
+    subst_flag.push_back(flag);
+  }
+  void seal() {
+    subst_indptr.push_back(static_cast<int64_t>(subst_cols.size()));
+    dcol_indptr.push_back(static_cast<int64_t>(dcol_rows.size()));
+  }
 };
 
 double feas_tol(const std::vector<double>& q) {
   double mx = 0.0;
   for (double v : q) mx = std::max(mx, std::fabs(v));
   return 1e-9 * (1.0 + mx);
+}
+
+// Column views (ascending row index, matching scipy CSC entry order).
+void build_cols(const Problem& p,
+                std::vector<std::vector<int64_t>>& col_rows,
+                std::vector<std::vector<double>>& col_vals) {
+  col_rows.assign(p.c.size(), {});
+  col_vals.assign(p.c.size(), {});
+  for (size_t i = 0; i < p.rows.size(); ++i) {
+    for (const auto& e : p.rows[i]) {
+      col_rows[e.col].push_back(static_cast<int64_t>(i));
+      col_vals[e.col].push_back(e.val);
+    }
+  }
 }
 
 // Drop rows flagged in `drop`, preserving order.
@@ -94,12 +146,53 @@ void drop_rows(Problem& p, const std::vector<uint8_t>& drop, Result& r) {
       p.rows[w] = std::move(p.rows[i]);
       p.is_ineq[w] = p.is_ineq[i];
       p.q[w] = p.q[i];
+      p.orig_rows[w] = p.orig_rows[i];
     }
     ++w;
   }
   p.rows.resize(w);
   p.is_ineq.resize(w);
   p.q.resize(w);
+  p.orig_rows.resize(w);
+}
+
+// Drop columns flagged in `drop`: strip their entries from every row,
+// remap surviving column indices, compact c/l/u/orig_cols.
+void drop_cols(Problem& p, const std::vector<uint8_t>& drop, Result& r) {
+  const size_t n = p.c.size();
+  std::vector<int32_t> new_col(n, -1);
+  int32_t w = 0;
+  for (size_t j = 0; j < n; ++j) {
+    if (drop[j]) {
+      ++r.cols_removed;
+    } else {
+      new_col[j] = w++;
+    }
+  }
+  for (auto& row : p.rows) {
+    size_t k = 0;
+    for (size_t e = 0; e < row.size(); ++e) {
+      if (drop[row[e].col]) continue;
+      row[k].col = new_col[row[e].col];
+      row[k].val = row[e].val;
+      ++k;
+    }
+    row.resize(k);
+  }
+  std::vector<double> c2, l2, u2;
+  std::vector<int64_t> oc2;
+  c2.reserve(w);
+  for (size_t j = 0; j < n; ++j) {
+    if (drop[j]) continue;
+    c2.push_back(p.c[j]);
+    l2.push_back(p.l[j]);
+    u2.push_back(p.u[j]);
+    oc2.push_back(p.orig_cols[j]);
+  }
+  p.c = std::move(c2);
+  p.l = std::move(l2);
+  p.u = std::move(u2);
+  p.orig_cols = std::move(oc2);
 }
 
 bool pass_empty_rows(Problem& p, Result& r) {
@@ -122,9 +215,28 @@ bool pass_empty_rows(Problem& p, Result& r) {
 }
 
 bool pass_singleton_rows(Problem& p, Result& r) {
-  std::vector<uint8_t> drop(p.rows.size(), 0);
+  const size_t m = p.rows.size();
+  bool have_single = false;
+  for (size_t i = 0; i < m && !have_single; ++i)
+    have_single = (p.rows[i].size() == 1);
+  if (!have_single) return false;
+  // Column snapshot at pass start, for the dual-recovery entries.
+  std::vector<std::vector<int64_t>> col_rows;
+  std::vector<std::vector<double>> col_vals;
+  build_cols(p, col_rows, col_vals);
+  auto push_bound = [&](int32_t j, size_t i, double a, double v,
+                        int8_t flag) {
+    r.push_entry(2, p.orig_cols[j], a, v, p.orig_rows[i], p.c[j], flag);
+    for (size_t e = 0; e < col_rows[j].size(); ++e) {
+      if (col_rows[j][e] == static_cast<int64_t>(i)) continue;
+      r.dcol_rows.push_back(p.orig_rows[col_rows[j][e]]);
+      r.dcol_vals.push_back(col_vals[j][e]);
+    }
+    r.seal();
+  };
+  std::vector<uint8_t> drop(m, 0);
   bool any = false;
-  for (size_t i = 0; i < p.rows.size(); ++i) {
+  for (size_t i = 0; i < m; ++i) {
     if (p.rows[i].size() != 1) continue;
     const double a = p.rows[i][0].val;
     const int32_t j = p.rows[i][0].col;
@@ -132,11 +244,20 @@ bool pass_singleton_rows(Problem& p, Result& r) {
     const double v = p.q[i] / a;
     if (p.is_ineq[i]) {
       if (a > 0) {
-        p.l[j] = std::max(p.l[j], v);
+        if (v > p.l[j]) {
+          push_bound(j, i, a, v, 1);
+          p.l[j] = v;
+        }
       } else {
-        p.u[j] = std::min(p.u[j], v);
+        if (v < p.u[j]) {
+          push_bound(j, i, a, v, -1);
+          p.u[j] = v;
+        }
       }
     } else {
+      // Equality pins the variable; the row's (free) dual absorbs
+      // whatever reduced cost remains on x_j.
+      push_bound(j, i, a, v, 2);
       p.l[j] = std::max(p.l[j], v);
       p.u[j] = std::min(p.u[j], v);
     }
@@ -144,15 +265,168 @@ bool pass_singleton_rows(Problem& p, Result& r) {
     any = true;
   }
   for (size_t j = 0; j < p.l.size(); ++j) {
-    const double slack =
-        std::isfinite(p.u[j]) ? 1e-9 * (1.0 + std::fabs(p.u[j])) : 0.0;
-    if (p.l[j] > p.u[j] + slack) {
+    // NaN threshold (u = -inf) compares false, matching numpy.
+    const double thr = p.u[j] + 1e-9 * (1.0 + std::fabs(p.u[j]));
+    if (p.l[j] > thr) {
       r.status = kPrimalInfeasible;
       return false;
     }
   }
   if (any) drop_rows(p, drop, r);
   return any;
+}
+
+// Row activities: redundancy, infeasibility, and bound tightening
+// (PaPILO's ConstraintPropagation / redundant-row family).  +-inf bound
+// contributions are counted, not summed, so "activity minus one variable"
+// stays exact.  Mirrors the vectorized numpy pass entry-for-entry.
+bool pass_row_activity(Problem& p, Result& r) {
+  const size_t m = p.rows.size();
+  const size_t n = p.c.size();
+  const double tol = feas_tol(p.q);
+  std::vector<double> min_fin(m, 0.0), max_fin(m, 0.0);
+  std::vector<int64_t> n_min_inf(m, 0), n_max_inf(m, 0);
+  auto contrib = [&](const Entry& e, double& lo_c, double& hi_c) {
+    if (e.val > 0) {
+      lo_c = e.val * p.l[e.col];
+      hi_c = e.val * p.u[e.col];
+    } else {
+      lo_c = e.val * p.u[e.col];
+      hi_c = e.val * p.l[e.col];
+    }
+  };
+  for (size_t i = 0; i < m; ++i) {
+    for (const auto& e : p.rows[i]) {
+      double lo_c, hi_c;
+      contrib(e, lo_c, hi_c);
+      if (std::isfinite(lo_c)) min_fin[i] += lo_c;
+      if (std::isfinite(hi_c)) max_fin[i] += hi_c;
+      if (std::isinf(lo_c) && lo_c < 0) ++n_min_inf[i];
+      if (std::isinf(hi_c) && hi_c > 0) ++n_max_inf[i];
+    }
+  }
+  std::vector<uint8_t> redundant(m, 0);
+  bool any_red = false;
+  for (size_t i = 0; i < m; ++i) {
+    const double act_tol =
+        tol + 1e-9 * (std::fabs(min_fin[i]) + std::fabs(max_fin[i]) +
+                      std::fabs(p.q[i]));
+    const double min_act = n_min_inf[i] > 0 ? -kInf : min_fin[i];
+    const double max_act = n_max_inf[i] > 0 ? kInf : max_fin[i];
+    const bool bad =
+        p.is_ineq[i]
+            ? (max_act < p.q[i] - act_tol)
+            : (max_act < p.q[i] - act_tol || min_act > p.q[i] + act_tol);
+    if (bad) {
+      r.status = kPrimalInfeasible;
+      return false;
+    }
+    const bool red =
+        p.is_ineq[i]
+            ? (min_act >= p.q[i] - act_tol)
+            : (min_act >= p.q[i] - act_tol && max_act <= p.q[i] + act_tol);
+    if (red) {
+      redundant[i] = 1;
+      any_red = true;
+    }
+  }
+  if (any_red) {
+    drop_rows(p, redundant, r);
+    return true;
+  }
+
+  // Bound tightening: for row a.x >= q (or = q), variable j's bound
+  // implied by the others' extreme activities.  "Activity minus j" is
+  // finite iff the row has no infinite contributions besides possibly
+  // j's own.  Ties keep the FIRST achieving entry in row-major order
+  // (matches hits[0] in the numpy pass).
+  struct Hit {
+    int64_t row = -1;
+    double aval = 0.0;
+  };
+  std::vector<double> best_l(n, -kInf), best_u(n, kInf);
+  std::vector<Hit> hit_l(n), hit_u(n);
+  for (size_t i = 0; i < m; ++i) {
+    for (const auto& e : p.rows[i]) {
+      double lo_c, hi_c;
+      contrib(e, lo_c, hi_c);
+      const bool hi_ok =
+          n_max_inf[i] == 0 ||
+          (n_max_inf[i] == 1 && std::isinf(hi_c) && hi_c > 0);
+      const bool lo_ok =
+          n_min_inf[i] == 0 ||
+          (n_min_inf[i] == 1 && std::isinf(lo_c) && lo_c < 0);
+      const double hi_wo = max_fin[i] - (std::isfinite(hi_c) ? hi_c : 0.0);
+      const double lo_wo = min_fin[i] - (std::isfinite(lo_c) ? lo_c : 0.0);
+      const double resid_hi = (p.q[i] - hi_wo) / e.val;
+      const double resid_lo = (p.q[i] - lo_wo) / e.val;
+      const bool pos = e.val > 0;
+      double cl = -kInf, cu = kInf;
+      if (hi_ok && pos) cl = resid_hi;
+      if (hi_ok && !pos) cu = resid_hi;
+      if (lo_ok && !pos && !p.is_ineq[i]) cl = std::max(cl, resid_lo);
+      if (lo_ok && pos && !p.is_ineq[i]) cu = std::min(cu, resid_lo);
+      if (cl > best_l[e.col]) {
+        best_l[e.col] = cl;
+        hit_l[e.col] = {static_cast<int64_t>(i), e.val};
+      }
+      if (cu < best_u[e.col]) {
+        best_u[e.col] = cu;
+        hit_u[e.col] = {static_cast<int64_t>(i), e.val};
+      }
+    }
+  }
+  // Significant-improvement threshold: avoids stack churn from epsilon
+  // tightenings across passes.
+  std::vector<int64_t> imp_l, imp_u;
+  for (size_t j = 0; j < n; ++j) {
+    const double bl = best_l[j];
+    const double thr = 1e-6 * (1.0 + std::min(std::fabs(bl), 1e12));
+    if (bl > p.l[j] + thr ||
+        (std::isinf(p.l[j]) && p.l[j] < 0 && std::isfinite(bl))) {
+      imp_l.push_back(static_cast<int64_t>(j));
+    }
+    const double bu = best_u[j];
+    const double thr_u = 1e-6 * (1.0 + std::min(std::fabs(bu), 1e12));
+    if (bu < p.u[j] - thr_u ||
+        (std::isinf(p.u[j]) && p.u[j] > 0 && std::isfinite(bu))) {
+      imp_u.push_back(static_cast<int64_t>(j));
+    }
+  }
+  if (imp_l.empty() && imp_u.empty()) return false;
+  std::vector<std::vector<int64_t>> col_rows;
+  std::vector<std::vector<double>> col_vals;
+  build_cols(p, col_rows, col_vals);
+  auto push_tighten = [&](int64_t j, const Hit& h, double v, int8_t flag) {
+    r.push_entry(2, p.orig_cols[j], h.aval, v, p.orig_rows[h.row], p.c[j],
+                 flag);
+    for (size_t e = 0; e < col_rows[j].size(); ++e) {
+      if (col_rows[j][e] == h.row) continue;
+      r.dcol_rows.push_back(p.orig_rows[col_rows[j][e]]);
+      r.dcol_vals.push_back(col_vals[j][e]);
+    }
+    r.seal();
+  };
+  for (int64_t j : imp_l) {
+    const Hit& h = hit_l[j];
+    push_tighten(j, h, best_l[j],
+                 p.is_ineq[h.row] ? int8_t{1} : int8_t{2});
+    p.l[j] = best_l[j];
+  }
+  for (int64_t j : imp_u) {
+    const Hit& h = hit_u[j];
+    push_tighten(j, h, best_u[j],
+                 p.is_ineq[h.row] ? int8_t{-1} : int8_t{-2});
+    p.u[j] = best_u[j];
+  }
+  for (size_t j = 0; j < n; ++j) {
+    const double u_fin = std::isfinite(p.u[j]) ? std::fabs(p.u[j]) : 0.0;
+    if (p.l[j] > p.u[j] + 1e-9 * (1.0 + u_fin)) {
+      r.status = kPrimalInfeasible;
+      return false;
+    }
+  }
+  return true;
 }
 
 bool pass_columns(Problem& p, Result& r) {
@@ -298,6 +572,8 @@ bool pass_dominated_cols(Problem& p, Result& r) {
 // that row: x_j = (b_i - sum_k a_ik x_k)/a_ij.  Remove row i and column j,
 // fold c_j through the row into the remaining costs, and push the
 // substitution onto the postsolve stack (PaPILO's column-singleton family).
+// The dual entry carries the removed row and c_j; the column snapshot is
+// empty (x_j appears in no other row), so y_i = c_j / a_ij at recovery.
 bool pass_free_singleton_cols(Problem& p, Result& r) {
   const size_t n = p.c.size();
   const size_t m = p.rows.size();
@@ -324,17 +600,15 @@ bool pass_free_singleton_cols(Problem& p, Result& r) {
     for (const auto& e : p.rows[i]) vmax = std::max(vmax, std::fabs(e.val));
     if (std::fabs(a_jj) < 1e-10 * (1.0 + vmax)) continue;  // unsafe pivot
     const double ratio = p.c[j] / a_jj;
-    r.subst_kind.push_back(0);
-    r.subst_idx.push_back(p.orig_cols[j]);
-    r.subst_scale.push_back(a_jj);
-    r.subst_rhs.push_back(p.q[i]);
+    r.push_entry(0, p.orig_cols[j], a_jj, p.q[i], p.orig_rows[i], p.c[j],
+                 0);
     for (const auto& e : p.rows[i]) {
       if (e.col == static_cast<int32_t>(j)) continue;
       p.c[e.col] -= ratio * e.val;
       r.subst_cols.push_back(p.orig_cols[e.col]);
       r.subst_vals.push_back(e.val);
     }
-    r.subst_indptr.push_back(static_cast<int64_t>(r.subst_cols.size()));
+    r.seal();
     r.obj_offset += ratio * p.q[i];
     row_used[i] = 1;
     drop_row[i] = 1;
@@ -343,33 +617,108 @@ bool pass_free_singleton_cols(Problem& p, Result& r) {
   }
   if (!any) return false;
   drop_rows(p, drop_row, r);
-  // Compact columns (dropped columns have no surviving entries: their only
-  // row was just removed) and remap indices in the remaining rows.
-  std::vector<int32_t> new_col(n, -1);
-  int32_t w = 0;
-  for (size_t j = 0; j < n; ++j) {
-    if (drop_col[j]) {
-      ++r.cols_removed;
-    } else {
-      new_col[j] = w++;
+  drop_cols(p, drop_col, r);
+  return true;
+}
+
+// Doubleton equations (PaPILO DoubletonEq).  An equality row
+// a x_j + b x_k = q with x_j implied free (its bounds are implied by the
+// row plus x_k's box) substitutes x_j = (q - b x_k)/a into every other
+// row, the costs, and the postsolve stack.  The dual of the removed row
+// follows from lambda_j = 0 via the stored column snapshot.  Candidate
+// rows and column snapshots are taken at pass start (mirroring the numpy
+// pass's deferred COO update); overlap is prevented by the used-variable
+// guard, so in-place application is equivalent.
+bool pass_doubleton_eq(Problem& p, Result& r) {
+  const size_t m = p.rows.size();
+  const size_t n = p.c.size();
+  std::vector<size_t> dbl;
+  for (size_t i = 0; i < m; ++i)
+    if (!p.is_ineq[i] && p.rows[i].size() == 2) dbl.push_back(i);
+  if (dbl.empty()) return false;
+  std::vector<std::vector<int64_t>> col_rows;
+  std::vector<std::vector<double>> col_vals;
+  build_cols(p, col_rows, col_vals);
+  std::vector<uint8_t> used(n, 0), drop_row(m, 0), drop_col(n, 0);
+  bool any = false;
+  for (size_t i : dbl) {
+    if (p.rows[i].size() != 2) continue;  // modified mid-pass: skip
+    const int32_t j1 = p.rows[i][0].col, j2 = p.rows[i][1].col;
+    const double a1 = p.rows[i][0].val, a2 = p.rows[i][1].val;
+    if (used[j1] || used[j2]) continue;
+    const double qi = p.q[i];
+    int32_t j = -1, k = -1;
+    double a = 0.0, b = 0.0;
+    bool found = false;
+    for (int t = 0; t < 2 && !found; ++t) {
+      const int32_t jj = (t == 0) ? j1 : j2;
+      const int32_t kk = (t == 0) ? j2 : j1;
+      const double aa = (t == 0) ? a1 : a2;
+      const double bb = (t == 0) ? a2 : a1;
+      if (std::fabs(aa) < 1e-10 * (1.0 + std::fabs(bb))) continue;
+      if (static_cast<int64_t>(col_rows[jj].size()) > 32) continue;
+      // Implied interval of x_j over x_k's box.
+      const double e1 = (qi - bb * p.l[kk]) / aa;
+      const double e2 = (qi - bb * p.u[kk]) / aa;
+      const double lo_j = std::min(e1, e2);
+      const double hi_j = std::max(e1, e2);
+      const double bt = 1e-9 * (1.0 + std::fabs(qi));
+      if (std::isnan(lo_j) || std::isnan(hi_j)) continue;
+      if (lo_j >= p.l[jj] - bt && hi_j <= p.u[jj] + bt) {
+        j = jj;
+        k = kk;
+        a = aa;
+        b = bb;
+        found = true;
+      }
     }
+    if (!found) continue;
+    const double cj = p.c[j];
+    r.push_entry(0, p.orig_cols[j], a, qi, p.orig_rows[i], cj, 0);
+    r.subst_cols.push_back(p.orig_cols[k]);
+    r.subst_vals.push_back(b);
+    for (size_t e = 0; e < col_rows[j].size(); ++e) {
+      if (col_rows[j][e] == static_cast<int64_t>(i)) continue;
+      r.dcol_rows.push_back(p.orig_rows[col_rows[j][e]]);
+      r.dcol_vals.push_back(col_vals[j][e]);
+    }
+    r.seal();
+    // Rows other than i that contain x_j: shift rhs, cancel the x_j
+    // entry, and gain a x_k entry (kept column-sorted; exact zeros are
+    // removed, matching eliminate_zeros).
+    for (size_t e = 0; e < col_rows[j].size(); ++e) {
+      const int64_t rr = col_rows[j][e];
+      if (rr == static_cast<int64_t>(i)) continue;
+      const double g = col_vals[j][e];
+      p.q[rr] -= g * (qi / a);
+      auto& row = p.rows[rr];
+      for (size_t t2 = 0; t2 < row.size(); ++t2) {
+        if (row[t2].col == j) {
+          row.erase(row.begin() + t2);
+          break;
+        }
+      }
+      const double add = g * (-b / a);
+      size_t pos2 = 0;
+      while (pos2 < row.size() && row[pos2].col < k) ++pos2;
+      if (pos2 < row.size() && row[pos2].col == k) {
+        row[pos2].val += add;
+        if (row[pos2].val == 0.0) row.erase(row.begin() + pos2);
+      } else if (add != 0.0) {
+        row.insert(row.begin() + pos2, Entry{k, add});
+      }
+    }
+    r.obj_offset += cj * qi / a;
+    p.c[k] -= cj * b / a;
+    used[j] = 1;
+    used[k] = 1;
+    drop_row[i] = 1;
+    drop_col[j] = 1;
+    any = true;
   }
-  for (auto& row : p.rows)
-    for (auto& e : row) e.col = new_col[e.col];
-  std::vector<double> c2, l2, u2;
-  std::vector<int64_t> oc2;
-  c2.reserve(w);
-  for (size_t j = 0; j < n; ++j) {
-    if (drop_col[j]) continue;
-    c2.push_back(p.c[j]);
-    l2.push_back(p.l[j]);
-    u2.push_back(p.u[j]);
-    oc2.push_back(p.orig_cols[j]);
-  }
-  p.c = std::move(c2);
-  p.l = std::move(l2);
-  p.u = std::move(u2);
-  p.orig_cols = std::move(oc2);
+  if (!any) return false;
+  drop_rows(p, drop_row, r);
+  drop_cols(p, drop_col, r);
   return true;
 }
 
@@ -381,8 +730,6 @@ bool pass_free_singleton_cols(Problem& p, Result& r) {
 // (ascending kept-column order, same tolerances).
 bool pass_parallel_cols(Problem& p, Result& r) {
   const size_t n = p.c.size();
-  // Column views built by scanning rows in order => ascending row index,
-  // matching scipy CSC entry order.
   std::vector<std::vector<int64_t>> col_rows(n);
   std::vector<std::vector<double>> col_vals(n);
   for (size_t i = 0; i < p.rows.size(); ++i) {
@@ -437,15 +784,12 @@ bool pass_parallel_cols(Problem& p, Result& r) {
         std::isfinite(p.u[j0]) || (lam > 0 && std::isfinite(p.l[j])) ||
         (lam < 0 && std::isfinite(p.u[j]));
     if (!ok) continue;
-    r.subst_kind.push_back(1);
-    r.subst_idx.push_back(p.orig_cols[j]);
-    r.subst_scale.push_back(lam);
-    r.subst_rhs.push_back(p.u[j0]);
+    r.push_entry(1, p.orig_cols[j], lam, p.u[j0], -1, 0.0, 0);
     r.subst_cols.push_back(p.orig_cols[j0]);
     r.subst_cols.push_back(p.orig_cols[j0]);
     r.subst_vals.push_back(p.l[j]);
     r.subst_vals.push_back(p.u[j]);
-    r.subst_indptr.push_back(static_cast<int64_t>(r.subst_cols.size()));
+    r.seal();
     if (lam > 0) {
       p.l[j0] = p.l[j0] + lam * p.l[j];
       p.u[j0] = p.u[j0] + lam * p.u[j];
@@ -457,46 +801,17 @@ bool pass_parallel_cols(Problem& p, Result& r) {
     any = true;
   }
   if (!any) return false;
-  // Compact dropped columns and remap indices (dropped columns' entries
-  // are removed from the rows).
-  std::vector<int32_t> new_col(n, -1);
-  int32_t w = 0;
-  for (size_t j = 0; j < n; ++j) {
-    if (drop[j]) {
-      ++r.cols_removed;
-    } else {
-      new_col[j] = w++;
-    }
-  }
-  for (auto& row : p.rows) {
-    size_t k = 0;
-    for (size_t e = 0; e < row.size(); ++e) {
-      if (drop[row[e].col]) continue;
-      row[k].col = new_col[row[e].col];
-      row[k].val = row[e].val;
-      ++k;
-    }
-    row.resize(k);
-  }
-  std::vector<double> c2, l2, u2;
-  std::vector<int64_t> oc2;
-  c2.reserve(w);
-  for (size_t j = 0; j < n; ++j) {
-    if (drop[j]) continue;
-    c2.push_back(p.c[j]);
-    l2.push_back(p.l[j]);
-    u2.push_back(p.u[j]);
-    oc2.push_back(p.orig_cols[j]);
-  }
-  p.c = std::move(c2);
-  p.l = std::move(l2);
-  p.u = std::move(u2);
-  p.orig_cols = std::move(oc2);
+  drop_cols(p, drop, r);
   return true;
 }
 
+// Duplicate rows (identical pattern, proportional values).  Beyond the
+// plain merge: a dropped inequality whose scaled rhs wins leaves a kind-3
+// dual entry; antiparallel inequalities are checked for contradiction;
+// equalities dominate parallel inequalities in either direction.
 bool pass_duplicate_rows(Problem& p, Result& r) {
   const double tol = feas_tol(p.q);
+  if (p.rows.size() <= 1) return false;
   // Signature: column pattern + values normalised by the leading nonzero.
   using Key = std::vector<int64_t>;
   std::map<Key, std::pair<size_t, double>> sig;
@@ -522,15 +837,45 @@ bool pass_duplicate_rows(Problem& p, Result& r) {
     const size_t i0 = it->second.first;
     const double lam = lead / it->second.second;  // row_i = lam * row_i0
     if (p.is_ineq[i] && p.is_ineq[i0] && lam > 0) {
-      p.q[i0] = std::max(p.q[i0], p.q[i] / lam);
+      if (p.q[i] / lam > p.q[i0]) {
+        // The dropped row's scaled rhs is the binding one: its dual is
+        // recovered from the kept row's (kind-3 entry).
+        r.push_entry(3, p.orig_rows[i], lam, 0.0, p.orig_rows[i0], 0.0, 0);
+        r.seal();
+        p.q[i0] = p.q[i] / lam;
+      }
       drop[i] = 1;
       any = true;
+    } else if (p.is_ineq[i] && p.is_ineq[i0] && lam < 0) {
+      // row_i x >= q_i is an UPPER bound q_i/lam on row_i0 x: a range
+      // pair.  Only the contradiction is actionable.
+      if (p.q[i] / lam < p.q[i0] - tol) {
+        r.status = kPrimalInfeasible;
+        return false;
+      }
     } else if (!p.is_ineq[i] && !p.is_ineq[i0]) {
       if (std::fabs(p.q[i] / lam - p.q[i0]) > tol) {
         r.status = kPrimalInfeasible;
         return false;
       }
       drop[i] = 1;
+      any = true;
+    } else if (p.is_ineq[i]) {
+      // Equality i0 dominates the parallel inequality i.
+      if (lam * p.q[i0] < p.q[i] - tol) {
+        r.status = kPrimalInfeasible;
+        return false;
+      }
+      drop[i] = 1;
+      any = true;
+    } else {
+      // Inequality i0 dominated by the new equality i: drop i0, keep i.
+      if (p.q[i] / lam < p.q[i0] - tol) {
+        r.status = kPrimalInfeasible;
+        return false;
+      }
+      drop[i0] = 1;
+      it->second = std::make_pair(i, lead);
       any = true;
     }
   }
@@ -564,6 +909,8 @@ void* tpdlp_presolve_run(
   p.u.assign(u, u + n);
   p.orig_cols.resize(n);
   for (int64_t j = 0; j < n; ++j) p.orig_cols[j] = j;
+  p.orig_rows.resize(m);
+  for (int64_t i = 0; i < m; ++i) p.orig_rows[i] = i;
 
   bool changed = true;
   while (changed && res->passes < max_passes && res->status == kRunning) {
@@ -573,13 +920,17 @@ void* tpdlp_presolve_run(
     if (res->status != kRunning) break;
     if (pass_singleton_rows(p, *res)) { changed = true; continue; }
     if (res->status != kRunning) break;
+    if (pass_row_activity(p, *res)) { changed = true; continue; }
+    if (res->status != kRunning) break;
     if (pass_columns(p, *res)) { changed = true; continue; }
     if (res->status != kRunning) break;
     if (pass_dominated_cols(p, *res)) { changed = true; continue; }
     if (res->status != kRunning) break;
     if (pass_free_singleton_cols(p, *res)) { changed = true; continue; }
+    if (pass_doubleton_eq(p, *res)) { changed = true; continue; }
     if (pass_parallel_cols(p, *res)) { changed = true; continue; }
     if (pass_duplicate_rows(p, *res)) changed = true;
+    if (res->status != kRunning) break;
   }
 
   if (res->status == kRunning && p.c.empty() && p.rows.empty()) {
@@ -651,6 +1002,19 @@ void tpdlp_get_reduced(void* h, int64_t* indptr, int32_t* indices,
   std::memcpy(u, p.u.data(), p.u.size() * sizeof(double));
 }
 
+// Surviving rows' ORIGINAL indices, in the same ineq-prefix order as
+// tpdlp_get_reduced (the reduced row i carries dual y_reduced[i] for
+// original row row_map[i]).
+void tpdlp_get_row_map(void* h, int64_t* out) {
+  const auto& p = static_cast<Result*>(h)->p;
+  const size_t m = p.rows.size();
+  size_t w = 0;
+  for (size_t i = 0; i < m; ++i)
+    if (p.is_ineq[i]) out[w++] = p.orig_rows[i];
+  for (size_t i = 0; i < m; ++i)
+    if (!p.is_ineq[i]) out[w++] = p.orig_rows[i];
+}
+
 void tpdlp_get_postsolve(void* h, int64_t* col_map, int64_t* fixed_idx,
                          double* fixed_val) {
   const auto* r = static_cast<Result*>(h);
@@ -667,6 +1031,9 @@ int64_t tpdlp_n_subst(void* h) {
 }
 int64_t tpdlp_subst_nnz(void* h) {
   return static_cast<Result*>(h)->subst_cols.size();
+}
+int64_t tpdlp_dcol_nnz(void* h) {
+  return static_cast<Result*>(h)->dcol_rows.size();
 }
 void tpdlp_get_subst(void* h, int64_t* idx, double* scale, double* rhs,
                      int64_t* indptr, int64_t* cols, double* vals,
@@ -686,6 +1053,24 @@ void tpdlp_get_subst(void* h, int64_t* idx, double* scale, double* rhs,
               r->subst_vals.size() * sizeof(double));
   std::memcpy(kind, r->subst_kind.data(),
               r->subst_kind.size() * sizeof(int8_t));
+}
+
+// Dual-recovery extension of the transform stack (parallel to subst_idx).
+void tpdlp_get_subst_ext(void* h, int64_t* row, double* cj, int8_t* flag,
+                         int64_t* d_indptr, int64_t* d_rows,
+                         double* d_vals) {
+  const auto* r = static_cast<Result*>(h);
+  std::memcpy(row, r->subst_row.data(),
+              r->subst_row.size() * sizeof(int64_t));
+  std::memcpy(cj, r->subst_cj.data(), r->subst_cj.size() * sizeof(double));
+  std::memcpy(flag, r->subst_flag.data(),
+              r->subst_flag.size() * sizeof(int8_t));
+  std::memcpy(d_indptr, r->dcol_indptr.data(),
+              r->dcol_indptr.size() * sizeof(int64_t));
+  std::memcpy(d_rows, r->dcol_rows.data(),
+              r->dcol_rows.size() * sizeof(int64_t));
+  std::memcpy(d_vals, r->dcol_vals.data(),
+              r->dcol_vals.size() * sizeof(double));
 }
 
 void tpdlp_free(void* h) { delete static_cast<Result*>(h); }

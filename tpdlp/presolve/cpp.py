@@ -32,8 +32,12 @@ def _build_lib() -> str:
     so_path = os.path.join(cache_dir, f"presolve_core_{stamp}.so")
     if not os.path.exists(so_path):
         tmp = so_path + ".tmp"
+        # -ffp-contract=off: GCC contracts a*b+c into FMA by default for
+        # C++, which would break bit-level lockstep with the numpy engine
+        # (the cross-tests compare reduction cascades at rtol=1e-12).
         subprocess.run(
-            ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", _SRC, "-o", tmp],
+            ["g++", "-O2", "-fPIC", "-shared", "-std=c++17",
+             "-ffp-contract=off", _SRC, "-o", tmp],
             check=True,
             capture_output=True,
         )
@@ -84,6 +88,15 @@ def _lib():
     lib.tpdlp_n_subst.argtypes = [ctypes.c_void_p]
     lib.tpdlp_subst_nnz.restype = i64
     lib.tpdlp_subst_nnz.argtypes = [ctypes.c_void_p]
+    lib.tpdlp_dcol_nnz.restype = i64
+    lib.tpdlp_dcol_nnz.argtypes = [ctypes.c_void_p]
+    lib.tpdlp_get_subst_ext.restype = None
+    lib.tpdlp_get_subst_ext.argtypes = [
+        ctypes.c_void_p, p(i64), p(ctypes.c_double), p(ctypes.c_int8),
+        p(i64), p(i64), p(ctypes.c_double),
+    ]
+    lib.tpdlp_get_row_map.restype = None
+    lib.tpdlp_get_row_map.argtypes = [ctypes.c_void_p, p(i64)]
     lib.tpdlp_get_subst.restype = None
     lib.tpdlp_get_subst.argtypes = [
         ctypes.c_void_p, p(i64), p(ctypes.c_double), p(ctypes.c_double),
@@ -160,8 +173,26 @@ def presolve_cpp(problem, *, max_passes: int = 10):
             _ptr(subst_vals, ctypes.c_double),
             _ptr(subst_kind, ctypes.c_int8),
         )
+        dcol_nnz = lib.tpdlp_dcol_nnz(h)
+        subst_row = np.empty(n_subst, np.int64)
+        subst_cj = np.empty(n_subst, np.float64)
+        subst_flag = np.empty(n_subst, np.int8)
+        dcol_indptr = np.empty(n_subst + 1, np.int64)
+        dcol_rows = np.empty(dcol_nnz, np.int64)
+        dcol_vals = np.empty(dcol_nnz, np.float64)
+        lib.tpdlp_get_subst_ext(
+            h, _ptr(subst_row, ctypes.c_int64),
+            _ptr(subst_cj, ctypes.c_double),
+            _ptr(subst_flag, ctypes.c_int8),
+            _ptr(dcol_indptr, ctypes.c_int64),
+            _ptr(dcol_rows, ctypes.c_int64),
+            _ptr(dcol_vals, ctypes.c_double),
+        )
+        row_map = np.empty(rm, np.int64)
+        lib.tpdlp_get_row_map(h, _ptr(row_map, ctypes.c_int64))
         data_out = PostsolveData(
             n_orig=problem.n,
+            m_orig=problem.m,
             col_map=col_map,
             fixed_idx=fixed_idx,
             fixed_val=fixed_val,
@@ -173,6 +204,13 @@ def presolve_cpp(problem, *, max_passes: int = 10):
             subst_indptr=subst_indptr,
             subst_cols=subst_cols,
             subst_vals=subst_vals,
+            row_map=row_map,
+            subst_row=subst_row,
+            subst_cj=subst_cj,
+            subst_flag=subst_flag,
+            dcol_indptr=dcol_indptr,
+            dcol_rows=dcol_rows,
+            dcol_vals=dcol_vals,
         )
         rows_removed = lib.tpdlp_rows_removed(h)
         cols_removed = lib.tpdlp_cols_removed(h)

@@ -40,6 +40,12 @@ def _empty_subst():
         subst_indptr=np.zeros(1, np.int64),
         subst_cols=np.zeros(0, np.int64),
         subst_vals=np.zeros(0),
+        subst_row=np.zeros(0, np.int64),
+        subst_cj=np.zeros(0),
+        subst_flag=np.zeros(0, np.int8),
+        dcol_indptr=np.zeros(1, np.int64),
+        dcol_rows=np.zeros(0, np.int64),
+        dcol_vals=np.zeros(0),
     )
 
 
@@ -59,12 +65,23 @@ class PostsolveData:
     fixed_val: np.ndarray  # their values
     obj_offset: float  # c_fixed . x_fixed accumulated into the objective
     # Transform stack (CSR-like layout over stack entries), chronological.
-    # kind 0 = linear substitution (free column singleton):
+    # kind 0 = linear substitution (free column singleton, doubleton eq):
     #     x[idx] = (rhs - vals . x[cols]) / scale
     # kind 1 = parallel-column split (idx was merged into cols[0] with
     #     column_idx = scale * column_cols0; rhs = kept var's upper bound
     #     at merge time; vals = [l_idx, u_idx]):
     #     x[idx] = clip((x[cols0] - rhs)/scale, l, u);  x[cols0] -= scale*x[idx]
+    # kind 2 = bound transfer (primal no-op; dual recovery for a dropped
+    #     row that became a variable bound): idx = col j, row = the dropped
+    #     row i, scale = a_ij, rhs = the introduced bound value v, flag =
+    #     +1/-1 lower/upper from an inequality row, +2/-2 from an equality
+    #     row.  cj/dcol_* hold c_j and column j (other rows, original
+    #     indices) at reduction time, so lambda_j can be evaluated exactly
+    #     during the reverse sweep.
+    # kind 3 = duplicate-row rhs winner (primal no-op): idx = the dropped
+    #     row whose scaled rhs was the binding one, row = the kept row,
+    #     scale = lam (row_idx = lam * row_kept); the kept row's recovered
+    #     dual moves to the dropped row as y_idx = y_row / lam.
     subst_kind: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(0, np.int8)
     )
@@ -86,6 +103,31 @@ class PostsolveData:
     subst_vals: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(0)
     )
+    # Dual-recovery extensions (round 2): original-row map for surviving
+    # rows, per-entry dual fields, and per-entry column snapshots (CSR-like
+    # over entries; rows in ORIGINAL indices, values at reduction time).
+    m_orig: int = 0
+    row_map: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int64)
+    )
+    subst_row: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int64)
+    )
+    subst_cj: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    subst_flag: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int8)
+    )
+    dcol_indptr: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(1, np.int64)
+    )
+    dcol_rows: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int64)
+    )
+    dcol_vals: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
 
     def save(self, path) -> None:
         np.savez(
@@ -102,6 +144,14 @@ class PostsolveData:
             subst_indptr=self.subst_indptr,
             subst_cols=self.subst_cols,
             subst_vals=self.subst_vals,
+            m_orig=self.m_orig,
+            row_map=self.row_map,
+            subst_row=self.subst_row,
+            subst_cj=self.subst_cj,
+            subst_flag=self.subst_flag,
+            dcol_indptr=self.dcol_indptr,
+            dcol_rows=self.dcol_rows,
+            dcol_vals=self.dcol_vals,
         )
 
     @classmethod
@@ -115,12 +165,26 @@ class PostsolveData:
             subst["subst_kind"] = np.zeros(
                 len(subst["subst_idx"]), np.int8
             )
+        for name in ("subst_row", "subst_cj", "subst_flag"):
+            if len(subst[name]) != len(subst["subst_idx"]):
+                fill = -1 if name == "subst_row" else 0
+                subst[name] = np.full(
+                    len(subst["subst_idx"]), fill, subst[name].dtype
+                )
+        if len(subst["dcol_indptr"]) != len(subst["subst_idx"]) + 1:
+            subst["dcol_indptr"] = np.zeros(
+                len(subst["subst_idx"]) + 1, np.int64
+            )
         return cls(
             n_orig=int(z["n_orig"]),
             col_map=z["col_map"],
             fixed_idx=z["fixed_idx"],
             fixed_val=z["fixed_val"],
             obj_offset=float(z["obj_offset"]),
+            m_orig=int(z["m_orig"]) if "m_orig" in z.files else 0,
+            row_map=z["row_map"] if "row_map" in z.files else np.zeros(
+                0, np.int64
+            ),
             **subst,
         )
 
@@ -146,6 +210,8 @@ def postsolve(x_reduced: np.ndarray, data: PostsolveData) -> np.ndarray:
     kinds = data.subst_kind
     for t in range(len(data.subst_idx) - 1, -1, -1):
         s, e = data.subst_indptr[t], data.subst_indptr[t + 1]
+        if len(kinds) and kinds[t] >= 2:
+            continue  # kinds 2/3 are dual-only (see postsolve_dual)
         if len(kinds) and kinds[t] == 1:
             # Parallel-column split: recover the dropped variable from the
             # merged one, respecting both original bound boxes.
@@ -164,6 +230,74 @@ def postsolve(x_reduced: np.ndarray, data: PostsolveData) -> np.ndarray:
                 - data.subst_vals[s:e] @ x[data.subst_cols[s:e]]
             ) / data.subst_scale[t]
     return x
+
+
+def postsolve_dual(
+    y_reduced: np.ndarray, x_full: np.ndarray, data: PostsolveData
+) -> np.ndarray:
+    """Map the reduced dual solution back to the original row space.
+
+    The reference's PaPILO round trip is primal-only
+    (Packages/papilo_wrapper.cpp:37-45); this goes beyond it.  Surviving
+    rows take their reduced duals via `row_map`; removed rows are recovered
+    in a reverse sweep over the transform stack using each entry's column
+    snapshot (c_j and column j at reduction time), which makes the
+    stationarity condition for the eliminated variable exact at every
+    stage:
+
+    - kind 0 (substituted-out variable, implied-free): the removed
+      equality row's dual solves lambda_j = 0, i.e.
+      y_i = (c_j - sum_r a_rj y_r) / a_ij.
+    - kind 2 (row that became a variable bound): if the introduced bound
+      is active at x (and, for inequality rows, the transferred multiplier
+      is nonnegative), the variable's remaining reduced cost moves onto
+      the row: y_i = lambda_j / a_ij.
+    - kind 3 (duplicate inequality whose rhs won the merge): the kept
+      row's dual moves to the dropped row, scaled by the proportionality
+      factor.
+
+    Rows removed as redundant (empty, activity-redundant, slack
+    duplicates) keep y = 0, which satisfies complementary slackness.
+    """
+    y = np.zeros(data.m_orig)
+    if data.row_map.size != np.asarray(y_reduced).size:
+        return y  # legacy postsolve data without dual info: y = 0
+    if data.row_map.size:
+        y[data.row_map] = y_reduced
+    kinds = data.subst_kind
+    for t in range(len(data.subst_idx) - 1, -1, -1):
+        kind = kinds[t] if len(kinds) else 0
+        if kind == 1:
+            continue  # parallel-column split: dual no-op
+        if kind == 3:
+            i, i0 = data.subst_idx[t], data.subst_row[t]
+            y[i] = y[i0] / data.subst_scale[t]
+            y[i0] = 0.0
+            continue
+        i = data.subst_row[t]
+        if i < 0:
+            continue  # legacy entry without dual info
+        ds, de = data.dcol_indptr[t], data.dcol_indptr[t + 1]
+        lam_j = data.subst_cj[t] - (
+            data.dcol_vals[ds:de] @ y[data.dcol_rows[ds:de]]
+        )
+        a = data.subst_scale[t]
+        if kind == 0:
+            y[i] = lam_j / a
+            continue
+        # kind 2: bound transfer.
+        v = data.subst_rhs[t]
+        j = data.subst_idx[t]
+        flag = data.subst_flag[t]
+        at_bound = abs(x_full[j] - v) <= 1e-7 * (1.0 + abs(v))
+        if not at_bound:
+            continue
+        yi = lam_j / a
+        if abs(flag) == 2:
+            y[i] = yi  # equality row: free dual
+        elif yi > 0.0:
+            y[i] = yi  # inequality row: dual must stay nonnegative
+    return y
 
 
 def _feas_tol(q):
@@ -202,6 +336,7 @@ def presolve(
 
     # Bookkeeping against ORIGINAL indices.
     orig_cols = np.arange(n)
+    orig_rows = np.arange(m)
     fixed_idx: list[int] = []
     fixed_val: list[float] = []
     subst_kind: list[int] = []
@@ -210,10 +345,45 @@ def presolve(
     subst_rhs: list[float] = []
     subst_cols: list[np.ndarray] = []
     subst_vals: list[np.ndarray] = []
+    subst_row: list[int] = []
+    subst_cj: list[float] = []
+    subst_flag: list[int] = []
+    dcol_rows: list[np.ndarray] = []
+    dcol_vals: list[np.ndarray] = []
     obj_offset = 0.0
     rows_removed = 0
     cols_removed = 0
     status = Status.RUNNING
+
+    def push_entry(
+        kind, idx, scale, rhs, cols, vals,
+        row=-1, cj=0.0, flag=0, dc_rows=None, dc_vals=None,
+    ):
+        """Append one transform-stack entry (original indices throughout)."""
+        subst_kind.append(kind)
+        subst_idx.append(int(idx))
+        subst_scale.append(float(scale))
+        subst_rhs.append(float(rhs))
+        subst_cols.append(np.asarray(cols, dtype=np.int64))
+        subst_vals.append(np.asarray(vals, dtype=np.float64))
+        subst_row.append(int(row))
+        subst_cj.append(float(cj))
+        subst_flag.append(int(flag))
+        dcol_rows.append(
+            np.asarray(dc_rows if dc_rows is not None else [], np.int64)
+        )
+        dcol_vals.append(
+            np.asarray(dc_vals if dc_vals is not None else [], np.float64)
+        )
+
+    def col_snapshot(Kc_cur, j, skip_row):
+        """Column j of the CURRENT matrix as (original row indices, values),
+        excluding local row `skip_row`."""
+        s_, e_ = Kc_cur.indptr[j], Kc_cur.indptr[j + 1]
+        rows_loc = Kc_cur.indices[s_:e_]
+        vals_loc = Kc_cur.data[s_:e_]
+        keep = rows_loc != skip_row
+        return orig_rows[rows_loc[keep]], vals_loc[keep]
 
     def fail(s):
         nonlocal status
@@ -243,6 +413,7 @@ def presolve(
             K = K[keep]
             q = q[keep]
             is_ineq = is_ineq[keep]
+            orig_rows = orig_rows[keep]
             rows_removed += int(empty.sum())
             changed = True
             continue
@@ -250,6 +421,7 @@ def presolve(
         # ---- singleton rows -> bounds ----
         singles = np.flatnonzero(row_nnz == 1)
         if singles.size:
+            Kc_snap = K.tocsc()
             drop_rows = np.zeros(m, dtype=bool)
             for i in singles:
                 a = K.data[K.indptr[i]]
@@ -260,11 +432,32 @@ def presolve(
                 v = b / a
                 if is_ineq[i]:
                     if a > 0:
-                        l[j] = max(l[j], v)
+                        if v > l[j]:
+                            dr, dv = col_snapshot(Kc_snap, j, i)
+                            push_entry(
+                                2, orig_cols[j], a, v, [], [],
+                                row=orig_rows[i], cj=c[j], flag=1,
+                                dc_rows=dr, dc_vals=dv,
+                            )
+                            l[j] = v
                     else:
-                        u[j] = min(u[j], v)
+                        if v < u[j]:
+                            dr, dv = col_snapshot(Kc_snap, j, i)
+                            push_entry(
+                                2, orig_cols[j], a, v, [], [],
+                                row=orig_rows[i], cj=c[j], flag=-1,
+                                dc_rows=dr, dc_vals=dv,
+                            )
+                            u[j] = v
                 else:
-                    # equality pins the variable
+                    # equality pins the variable; the row's (free) dual
+                    # absorbs whatever reduced cost remains on x_j.
+                    dr, dv = col_snapshot(Kc_snap, j, i)
+                    push_entry(
+                        2, orig_cols[j], a, v, [], [],
+                        row=orig_rows[i], cj=c[j], flag=2,
+                        dc_rows=dr, dc_vals=dv,
+                    )
                     l[j] = max(l[j], v)
                     u[j] = min(u[j], v)
                 drop_rows[i] = True
@@ -275,7 +468,131 @@ def presolve(
             K = K[keep]
             q = q[keep]
             is_ineq = is_ineq[keep]
+            orig_rows = orig_rows[keep]
             rows_removed += int(drop_rows.sum())
+            changed = True
+            continue
+
+        # ---- row activities: redundancy, infeasibility, bound tightening
+        # (PaPILO's ConstraintPropagation / redundant-row family) ----
+        # Per-entry activity contributions; +-inf entries are counted, not
+        # summed, so "activity minus one variable" stays exact.
+        Kr = K.tocsr()
+        ent_row = np.repeat(np.arange(m), np.diff(Kr.indptr))
+        ent_col = Kr.indices
+        ent_val = Kr.data
+        with np.errstate(invalid="ignore"):
+            lo_c = np.where(ent_val > 0, ent_val * l[ent_col],
+                            ent_val * u[ent_col])
+            hi_c = np.where(ent_val > 0, ent_val * u[ent_col],
+                            ent_val * l[ent_col])
+        lo_fin = np.where(np.isfinite(lo_c), lo_c, 0.0)
+        hi_fin = np.where(np.isfinite(hi_c), hi_c, 0.0)
+        min_fin = np.bincount(ent_row, lo_fin, minlength=m)
+        max_fin = np.bincount(ent_row, hi_fin, minlength=m)
+        n_min_inf = np.bincount(ent_row, np.isneginf(lo_c), minlength=m)
+        n_max_inf = np.bincount(ent_row, np.isposinf(hi_c), minlength=m)
+        min_act = np.where(n_min_inf > 0, -np.inf, min_fin)
+        max_act = np.where(n_max_inf > 0, np.inf, max_fin)
+        act_tol = tol + 1e-9 * (
+            np.abs(min_fin) + np.abs(max_fin) + np.abs(q)
+        )
+        bad = np.where(
+            is_ineq,
+            max_act < q - act_tol,
+            (max_act < q - act_tol) | (min_act > q + act_tol),
+        )
+        if bad.any():
+            fail(Status.PRIMAL_INFEASIBLE)
+            break
+        redundant = np.where(
+            is_ineq,
+            min_act >= q - act_tol,
+            (min_act >= q - act_tol) & (max_act <= q + act_tol),
+        )
+        if redundant.any():
+            keep = ~redundant
+            K = Kr[keep]
+            q = q[keep]
+            is_ineq = is_ineq[keep]
+            orig_rows = orig_rows[keep]
+            rows_removed += int(redundant.sum())
+            changed = True
+            continue
+
+        # Bound tightening: for row a.x >= q (or = q), variable j's bound
+        # implied by the others' extreme activities.  "Activity minus j"
+        # is finite iff the row has no infinite contributions besides
+        # possibly j's own.
+        hi_wo_j_ok = (n_max_inf[ent_row] == 0) | (
+            (n_max_inf[ent_row] == 1) & np.isposinf(hi_c)
+        )
+        lo_wo_j_ok = (n_min_inf[ent_row] == 0) | (
+            (n_min_inf[ent_row] == 1) & np.isneginf(lo_c)
+        )
+        hi_wo_j = max_fin[ent_row] - np.where(np.isfinite(hi_c), hi_c, 0.0)
+        lo_wo_j = min_fin[ent_row] - np.where(np.isfinite(lo_c), lo_c, 0.0)
+        resid_hi = (q[ent_row] - hi_wo_j) / ent_val  # from max activity
+        resid_lo = (q[ent_row] - lo_wo_j) / ent_val  # from min activity
+        ineq_e = is_ineq[ent_row]
+        # a > 0: resid_hi is a LOWER bound on x_j (ineq + eq);
+        #         resid_lo is an UPPER bound (eq rows only).
+        # a < 0: mirrored.
+        cand_l = np.full(len(ent_val), -np.inf)
+        cand_u = np.full(len(ent_val), np.inf)
+        pos = ent_val > 0
+        m_l = hi_wo_j_ok & pos
+        cand_l[m_l] = resid_hi[m_l]
+        m_u = hi_wo_j_ok & ~pos
+        cand_u[m_u] = resid_hi[m_u]
+        m_l2 = lo_wo_j_ok & ~pos & ~ineq_e
+        cand_l[m_l2] = np.maximum(cand_l[m_l2], resid_lo[m_l2])
+        m_u2 = lo_wo_j_ok & pos & ~ineq_e
+        cand_u[m_u2] = np.minimum(cand_u[m_u2], resid_lo[m_u2])
+        best_l = np.full(n, -np.inf)
+        best_u = np.full(n, np.inf)
+        np.maximum.at(best_l, ent_col, cand_l)
+        np.minimum.at(best_u, ent_col, cand_u)
+        # Significant-improvement threshold: avoids stack churn from
+        # epsilon tightenings across passes.
+        thresh = 1e-6 * (1.0 + np.minimum(np.abs(best_l), 1e12))
+        imp_l = np.flatnonzero(
+            (best_l > l + thresh) | (np.isneginf(l) & np.isfinite(best_l))
+        )
+        thresh_u = 1e-6 * (1.0 + np.minimum(np.abs(best_u), 1e12))
+        imp_u = np.flatnonzero(
+            (best_u < u - thresh_u) | (np.isposinf(u) & np.isfinite(best_u))
+        )
+        if imp_l.size or imp_u.size:
+            Kc_snap = K.tocsc()
+            for j in imp_l:
+                hits = np.flatnonzero((ent_col == j) & (cand_l == best_l[j]))
+                e0 = hits[0]
+                i = ent_row[e0]
+                dr, dv = col_snapshot(Kc_snap, j, i)
+                push_entry(
+                    2, orig_cols[j], ent_val[e0], best_l[j], [], [],
+                    row=orig_rows[i], cj=c[j],
+                    flag=1 if is_ineq[i] else 2,
+                    dc_rows=dr, dc_vals=dv,
+                )
+                l[j] = best_l[j]
+            for j in imp_u:
+                hits = np.flatnonzero((ent_col == j) & (cand_u == best_u[j]))
+                e0 = hits[0]
+                i = ent_row[e0]
+                dr, dv = col_snapshot(Kc_snap, j, i)
+                push_entry(
+                    2, orig_cols[j], ent_val[e0], best_u[j], [], [],
+                    row=orig_rows[i], cj=c[j],
+                    flag=-1 if is_ineq[i] else -2,
+                    dc_rows=dr, dc_vals=dv,
+                )
+                u[j] = best_u[j]
+            if np.any(l > u + 1e-9 * (1 + np.abs(np.where(np.isfinite(u),
+                                                          u, 0.0)))):
+                fail(Status.PRIMAL_INFEASIBLE)
+                break
             changed = True
             continue
 
@@ -396,14 +713,13 @@ def presolve(
                 cols = Kr.indices[s:e]
                 keep_k = cols != j
                 ratio = c[j] / a_jj
+                push_entry(
+                    0, orig_cols[j], a_jj, q[i],
+                    orig_cols[cols[keep_k]].copy(), vals[keep_k].copy(),
+                    row=orig_rows[i], cj=c[j],
+                )
                 c[cols[keep_k]] -= ratio * vals[keep_k]
                 obj_offset += ratio * q[i]
-                subst_kind.append(0)
-                subst_idx.append(int(orig_cols[j]))
-                subst_scale.append(float(a_jj))
-                subst_rhs.append(float(q[i]))
-                subst_cols.append(orig_cols[cols[keep_k]].copy())
-                subst_vals.append(vals[keep_k].copy())
                 row_used[i] = True
                 drop_row[i] = True
                 drop_col[j] = True
@@ -413,12 +729,114 @@ def presolve(
                 K = Kr[keep_r][:, keep_c]
                 q = q[keep_r]
                 is_ineq = is_ineq[keep_r]
+                orig_rows = orig_rows[keep_r]
                 c = c[keep_c]
                 l = l[keep_c]
                 u = u[keep_c]
                 orig_cols = orig_cols[keep_c]
                 rows_removed += int(drop_row.sum())
                 cols_removed += int(drop_col.sum())
+                changed = True
+                continue
+
+        # ---- doubleton equations (PaPILO DoubletonEq) ----
+        # An equality row a x_j + b x_k = q with x_j implied free (its
+        # bounds are implied by the row plus x_k's box) substitutes
+        # x_j = (q - b x_k)/a into every other row, the costs, and the
+        # postsolve stack.  The dual of the removed row follows from
+        # lambda_j = 0 via the stored column snapshot.
+        Kr4 = K.tocsr()
+        Kc4 = Kr4.tocsc()
+        row_nnz4 = np.diff(Kr4.indptr)
+        col_nnz4 = np.diff(Kc4.indptr)
+        dbl_rows = np.flatnonzero((row_nnz4 == 2) & ~is_ineq)
+        if dbl_rows.size:
+            used_vars: set[int] = set()
+            upd_r: list[np.ndarray] = []  # COO update rows
+            upd_c: list[np.ndarray] = []
+            upd_v: list[np.ndarray] = []
+            drop_row4 = np.zeros(Kr4.shape[0], dtype=bool)
+            drop_col4 = np.zeros(Kr4.shape[1], dtype=bool)
+            any_dbl = False
+            for i in dbl_rows:
+                s_, e_ = Kr4.indptr[i], Kr4.indptr[i + 1]
+                j1, j2 = Kr4.indices[s_:e_]
+                a1, a2 = Kr4.data[s_:e_]
+                if j1 in used_vars or j2 in used_vars:
+                    continue
+                qi = q[i]
+                picked = None
+                for (j, a, k, b) in ((j1, a1, j2, a2), (j2, a2, j1, a1)):
+                    if abs(a) < 1e-10 * (1.0 + abs(b)):
+                        continue
+                    if col_nnz4[j] > 32:
+                        continue  # cap fill-in
+                    # Implied interval of x_j over x_k's box.
+                    with np.errstate(invalid="ignore"):
+                        e1 = (qi - b * l[k]) / a
+                        e2 = (qi - b * u[k]) / a
+                    lo_j, hi_j = min(e1, e2), max(e1, e2)
+                    bt = 1e-9 * (1.0 + abs(qi))
+                    if np.isnan(lo_j) or np.isnan(hi_j):
+                        continue  # 0 * inf: b vanishes under inf bound
+                    if lo_j >= l[j] - bt and hi_j <= u[j] + bt:
+                        picked = (j, a, k, b)
+                        break
+                if picked is None:
+                    continue
+                j, a, k, b = picked
+                # Rows other than i that contain x_j gain a x_k entry.
+                cs, ce = Kc4.indptr[j], Kc4.indptr[j + 1]
+                rws = Kc4.indices[cs:ce]
+                gvs = Kc4.data[cs:ce]
+                other = rws != i
+                rws_o, gvs_o = rws[other], gvs[other]
+                upd_r.append(rws_o)
+                upd_c.append(np.full(rws_o.size, k, dtype=np.int64))
+                upd_v.append(gvs_o * (-b / a))
+                # ... and their rhs shifts; cancel x_j's own entries.
+                q[rws_o] -= gvs_o * (qi / a)
+                upd_r.append(rws_o)
+                upd_c.append(np.full(rws_o.size, j, dtype=np.int64))
+                upd_v.append(-gvs_o)
+                push_entry(
+                    0, orig_cols[j], a, qi,
+                    [orig_cols[k]], [b],
+                    row=orig_rows[i], cj=c[j],
+                    dc_rows=orig_rows[rws_o], dc_vals=gvs_o,
+                )
+                obj_offset += c[j] * qi / a
+                c[k] -= c[j] * b / a
+                used_vars.add(int(j))
+                used_vars.add(int(k))
+                drop_row4[i] = True
+                drop_col4[j] = True
+                any_dbl = True
+            if any_dbl:
+                if upd_r:
+                    U = sp.coo_matrix(
+                        (
+                            np.concatenate(upd_v),
+                            (np.concatenate(upd_r), np.concatenate(upd_c)),
+                        ),
+                        shape=Kr4.shape,
+                    )
+                    K = (Kr4 + U.tocsr()).tocsr()
+                else:
+                    K = Kr4
+                keep_r = ~drop_row4
+                keep_c = ~drop_col4
+                K = K[keep_r][:, keep_c]
+                K.eliminate_zeros()
+                q = q[keep_r]
+                is_ineq = is_ineq[keep_r]
+                orig_rows = orig_rows[keep_r]
+                c = c[keep_c]
+                l = l[keep_c]
+                u = u[keep_c]
+                orig_cols = orig_cols[keep_c]
+                rows_removed += int(drop_row4.sum())
+                cols_removed += int(drop_col4.sum())
                 changed = True
                 continue
 
@@ -464,14 +882,11 @@ def presolve(
             )
             if not ok:
                 continue
-            subst_kind.append(1)
-            subst_idx.append(int(orig_cols[j]))
-            subst_scale.append(float(lam))
-            subst_rhs.append(float(u[j0]))
-            subst_cols.append(
-                np.array([orig_cols[j0], orig_cols[j0]], dtype=np.int64)
+            push_entry(
+                1, orig_cols[j], lam, u[j0],
+                np.array([orig_cols[j0], orig_cols[j0]], dtype=np.int64),
+                np.array([l[j], u[j]], dtype=np.float64),
             )
-            subst_vals.append(np.array([l[j], u[j]], dtype=np.float64))
             if lam > 0:
                 l[j0] = l[j0] + lam * l[j]
                 u[j0] = u[j0] + lam * u[j]
@@ -508,13 +923,43 @@ def presolve(
                     i0, lead0 = sig[key]
                     lam = lead / lead0  # row_i = lam * row_i0
                     if is_ineq[i] and is_ineq[i0] and lam > 0:
-                        q[i0] = max(q[i0], q[i] / lam)
+                        if q[i] / lam > q[i0]:
+                            # The dropped row's scaled rhs is the binding
+                            # one: its dual must be recovered from the
+                            # kept row's (kind-3 entry).
+                            push_entry(
+                                3, orig_rows[i], lam, 0.0, [], [],
+                                row=orig_rows[i0],
+                            )
+                            q[i0] = q[i] / lam
                         drop_rows[i] = True
+                    elif is_ineq[i] and is_ineq[i0] and lam < 0:
+                        # row_i x >= q_i is an UPPER bound q_i/lam on
+                        # row_i0 x: a range pair.  Only the contradiction
+                        # is actionable (dominated-row infeasibility).
+                        if q[i] / lam < q[i0] - tol:
+                            fail(Status.PRIMAL_INFEASIBLE)
+                            break
                     elif not is_ineq[i] and not is_ineq[i0]:
                         if abs(q[i] / lam - q[i0]) > tol:
                             fail(Status.PRIMAL_INFEASIBLE)
                             break
                         drop_rows[i] = True
+                    elif is_ineq[i]:
+                        # Equality i0 dominates the parallel inequality i:
+                        # row_i x is pinned at lam * q_i0.
+                        if lam * q[i0] < q[i] - tol:
+                            fail(Status.PRIMAL_INFEASIBLE)
+                            break
+                        drop_rows[i] = True
+                    else:
+                        # Inequality i0 dominated by the new equality i:
+                        # drop i0, keep i (redundant or contradictory).
+                        if q[i] / lam < q[i0] - tol:
+                            fail(Status.PRIMAL_INFEASIBLE)
+                            break
+                        drop_rows[i0] = True
+                        sig[key] = (i, lead)
                 else:
                     sig[key] = (i, lead)
             if status != Status.RUNNING:
@@ -524,12 +969,18 @@ def presolve(
                 K = K[keep]
                 q = q[keep]
                 is_ineq = is_ineq[keep]
+                orig_rows = orig_rows[keep]
                 rows_removed += int(drop_rows.sum())
                 changed = True
 
     indptr = np.zeros(len(subst_idx) + 1, np.int64)
     if subst_idx:
         indptr[1:] = np.cumsum([len(a) for a in subst_cols])
+    d_indptr = np.zeros(len(subst_idx) + 1, np.int64)
+    if subst_idx:
+        d_indptr[1:] = np.cumsum([len(a) for a in dcol_rows])
+    # row_map in the FINAL reduced row order (ineq-prefix reordering below
+    # must be applied to it too when the problem survives).
     data = PostsolveData(
         n_orig=problem.n,
         col_map=orig_cols,
@@ -548,6 +999,19 @@ def presolve(
         subst_vals=(
             np.concatenate(subst_vals) if subst_vals else np.zeros(0)
         ),
+        m_orig=problem.m,
+        row_map=orig_rows,
+        subst_row=np.asarray(subst_row, dtype=np.int64),
+        subst_cj=np.asarray(subst_cj),
+        subst_flag=np.asarray(subst_flag, dtype=np.int8),
+        dcol_indptr=d_indptr,
+        dcol_rows=(
+            np.concatenate(dcol_rows).astype(np.int64)
+            if dcol_rows else np.zeros(0, np.int64)
+        ),
+        dcol_vals=(
+            np.concatenate(dcol_vals) if dcol_vals else np.zeros(0)
+        ),
     )
 
     if status != Status.RUNNING:
@@ -557,6 +1021,7 @@ def presolve(
     if K.shape[1] == 0 and K.shape[0] == 0:
         # Fully reduced: the presolver solved the LP; the solution is
         # entirely in the postsolve data.
+        data.row_map = np.zeros(0, np.int64)
         return PresolveResult(
             None, data, Status.SOLVED, rows_removed, cols_removed, passes
         )
@@ -567,6 +1032,7 @@ def presolve(
     order = np.argsort(~is_ineq, kind="stable")
     K = K[order]
     q = q[order]
+    data.row_map = orig_rows[order]
     m_ineq = int(is_ineq.sum())
 
     reduced = LPProblem(

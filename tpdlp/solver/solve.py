@@ -392,7 +392,10 @@ def solve(
 
     if presolve != "off":
         from tpdlp.presolve import presolve as run_presolve
-        from tpdlp.presolve.reductions import postsolve as run_postsolve
+        from tpdlp.presolve.reductions import (
+            postsolve as run_postsolve,
+            postsolve_dual as run_postsolve_dual,
+        )
 
         assert x0 is None and y0 is None, "presolve + warm start unsupported"
         pres = run_presolve(problem, backend=presolve)
@@ -400,12 +403,16 @@ def solve(
         if pres.status != Status.RUNNING:
             if pres.status == Status.SOLVED:
                 x_full = run_postsolve(np.zeros(0), pres.data)
+                y_solved = run_postsolve_dual(
+                    np.zeros(0), x_full, pres.data
+                )
             else:  # infeasible/unbounded: no meaningful point
                 x_full = np.zeros(problem.n)
+                y_solved = np.zeros(problem.m)
             obj = float(np.dot(problem.c, x_full))
             return SolveResult(
                 x=x_full,
-                y=np.zeros(problem.m),
+                y=y_solved,
                 objective=obj,
                 iterations=0,
                 restarts=0,
@@ -422,7 +429,9 @@ def solve(
             matrix_format=matrix_format,
         )
         x_full = run_postsolve(inner.x, pres.data)
-        y_full = np.zeros(problem.m)  # primal postsolve only (reference parity)
+        # Dual postsolve (beyond the reference, whose PaPILO round trip is
+        # primal-only — papilo_wrapper.cpp:37-45).
+        y_full = run_postsolve_dual(inner.y, x_full, pres.data)
         return SolveResult(
             x=x_full,
             y=y_full,
