@@ -1,15 +1,25 @@
 """Deterministic benchmark instance suite.
 
-Netlib/Mittelmann files are not vendored in this image, so the suite is a
-spread of synthetic planted-feasible LPs (tpdlp.io.generator, the
-reference's own fixture generator style: Packages/generate_feasible_lp.py)
-covering the size/density range of the classic sets: afiro-class tiny LPs
-up to Mittelmann-class large sparse instances.
+Three sources:
+- synthetic planted-feasible LPs (tpdlp.io.generator, the reference's own
+  fixture generator style: Packages/generate_feasible_lp.py) covering the
+  size/density range of the classic sets, afiro-class tiny up to
+  Mittelmann-class large sparse;
+- the vendored realistic fixed-format MPS corpus
+  (tpdlp/bench/instances/*.mps — blending, production, transportation,
+  staircase, network-flow families; see make_corpus.py), class "real";
+- the actual Netlib set via `tpdlp.io.netlib` when the environment has
+  network access (class "netlib"; silently empty offline).
 """
 
 from __future__ import annotations
 
+import glob
+import os
+
 from tpdlp.io.generator import generate_feasible_lp
+
+INSTANCES_DIR = os.path.join(os.path.dirname(__file__), "instances")
 
 # name, n, m_ineq, m_eq, density
 SMALL = [
@@ -32,6 +42,42 @@ XL = [
 ]
 
 
+def corpus_paths(include_terminal: bool = False):
+    """Paths of the vendored realistic MPS corpus (sorted)."""
+    paths = sorted(glob.glob(os.path.join(INSTANCES_DIR, "*.mps")))
+    if not include_terminal:
+        paths = [
+            f for f in paths
+            if not os.path.basename(f).startswith(("infeas", "unbnd"))
+        ]
+    return paths
+
+
+def build_corpus():
+    """Parse the vendored feasible corpus into LPProblems."""
+    from tpdlp.io.mps import read_mps
+
+    problems = []
+    for path in corpus_paths():
+        p = read_mps(path)
+        p.name = os.path.splitext(os.path.basename(path))[0]
+        problems.append(p)
+    return problems
+
+
+def build_netlib(names=None):
+    """Fetch + parse real Netlib instances; empty list when offline."""
+    from tpdlp.io import netlib
+
+    problems = []
+    for name in names or netlib.FEASIBLE:
+        try:
+            problems.append(netlib.load(name))
+        except netlib.NetlibUnavailable:
+            break  # offline: no point retrying every name
+    return problems
+
+
 def build_suite(classes=("small", "medium")):
     spec = []
     if "small" in classes:
@@ -47,4 +93,8 @@ def build_suite(classes=("small", "medium")):
         p = generate_feasible_lp(n=n, m_ineq=mi, m_eq=me, density=d, seed=7)
         p.name = name
         problems.append(p)
+    if "real" in classes:
+        problems += build_corpus()
+    if "netlib" in classes:
+        problems += build_netlib()
     return problems
