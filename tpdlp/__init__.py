@@ -56,6 +56,7 @@ from tpdlp.solver.solve import solve, SolveResult
 from tpdlp.batch.vmapped import solve_batch
 from tpdlp.io.mps import read_mps, mps_to_standard_form
 from tpdlp.io.generator import (
+    generate_banded_lp,
     generate_feasible_lp,
     generate_infeasible_lp,
     generate_unbounded_lp,
@@ -75,6 +76,7 @@ __all__ = [
     "read_mps",
     "mps_to_standard_form",
     "write_mps",
+    "generate_banded_lp",
     "generate_feasible_lp",
     "generate_infeasible_lp",
     "generate_unbounded_lp",

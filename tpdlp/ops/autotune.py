@@ -117,6 +117,18 @@ def choose_operator(K, dtype=jnp.float32, kkt_passes: int = 10,
     if allow_dense:
         candidates.append(("dense", _dense_from_coo(coo, dtype)))
     if jax.default_backend() == "tpu":
+        # Band-slab first: for banded/structured K it is the only layout
+        # whose stream reaches a large fraction of HBM peak (no per-tile
+        # gather work).  from_scipy returns None for non-band-like K.
+        from tpdlp.ops.band import BandOp
+
+        band = BandOp.from_scipy(coo, dtype)
+        if band is not None and (
+            not allow_dense or band.stored_bytes() < m * n * jnp.dtype(
+                dtype
+            ).itemsize
+        ):
+            candidates.append(("band", band))
         blocked = BlockEllOp.from_scipy(coo.tocsr(), dtype)
         itemsize = jnp.dtype(dtype).itemsize
         stored_bytes = 2 * blocked.fwd.tiles.size * itemsize  # K and K'

@@ -1,0 +1,342 @@
+"""Band-slab sparse layout: the TPU speed-of-light path for banded K.
+
+Block-ELL (tpdlp.ops.blocked) is the general structured-sparse layout, but
+its per-tile gathers are scalar-indexed work the VPU cannot hide — on the
+real chip the gather/index overhead caps the stream at ~25% of HBM peak
+(XLA path) / ~11% (per-tile Pallas kernel).  For BANDED matrices — the one
+sparsity class where sparse beats dense on TPU at all — there is a layout
+with NO per-tile indices:
+
+    group g = GR consecutive 8-row strips (GR*8 rows), whose band columns
+    all fall inside one window [start_g, start_g + WB):
+
+        slab_g : (GR*8, WB) dense   (zero-padded outside the band)
+        start_g: int32              (the only dynamic index per group)
+
+    y[g] = slab_g @ x[start_g : start_g + WB]
+
+One dynamic slice of x per GRID STEP (vs W gathers per 8-row strip for
+ELL), everything else static VPU work: elementwise multiply + lane-tree
+reduction over the window.  The Pallas kernel streams slabs HBM->VMEM
+double-buffered with `start_g` scalar-prefetched; x stays fully VMEM
+resident (fine up to n ~ 3M fp32).
+
+The layout applies whenever every group's column span fits one window
+(`from_scipy` returns None otherwise and the caller falls back to
+block-ELL).  K and K' are both materialised — the transpose of a banded
+matrix is banded with the same bandwidth.
+
+Reference analog: the reference has no sparse path at all (torch dense
+mm, PDLP/util.py:50,63); SURVEY.md §7's "fused_step / block-ELL" kernel
+plan is realized here as the band-slab kernel, which is the case where a
+hand kernel actually beats XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpdlp.ops.base import LinOp
+
+BR = 8  # rows per strip (fp32 sublane)
+LANES = 128
+
+
+def _ceil(a, b):
+    return -(-a // b)
+
+
+@dataclasses.dataclass
+class _BandData:
+    slabs: np.ndarray  # (ngroups, GR*BR, WB)
+    starts: np.ndarray  # (ngroups,) int32, multiples of LANES
+    m: int
+    n: int
+    nnz: int
+
+
+def _build_band(K: sp.coo_matrix, group_rows: int, max_window: int):
+    """Host-side layout build; None when some group's span exceeds the
+    window budget (caller falls back to ELL)."""
+    m, n = K.shape
+    rows_per_group = group_rows
+    # Grid steps process GB groups at a time: pad the group count.
+    ngroups = _ceil(_ceil(m, rows_per_group), 8) * 8
+    row = K.row.astype(np.int64)
+    col = K.col.astype(np.int64)
+    grp = row // rows_per_group
+
+    # Per-group column span, window starts 128-aligned (lane-aligned x
+    # slices keep Mosaic from relayout shuffles).
+    lo = np.full(ngroups, n, dtype=np.int64)
+    hi = np.full(ngroups, 0, dtype=np.int64)
+    np.minimum.at(lo, grp, col)
+    np.maximum.at(hi, grp, col)
+    empty = lo > hi
+    lo[empty] = 0
+    hi[empty] = 0
+    start = (lo // LANES) * LANES
+    span = hi - start + 1
+    wb = int(span.max()) if span.size else 1
+    WB = _ceil(wb, LANES) * LANES
+    if WB > max_window:
+        return None
+    n_pad = _ceil(n, LANES) * LANES
+    WB = min(WB, n_pad)
+    start = np.minimum(start, n_pad - WB)
+
+    slabs = np.zeros((ngroups, rows_per_group, WB), dtype=np.float64)
+    np.add.at(
+        slabs,
+        (grp, row % rows_per_group, col - start[grp]),
+        K.data,
+    )
+    return _BandData(slabs, start.astype(np.int32), m, n, int(K.nnz))
+
+
+GB = 8  # groups per grid step (keeps every block 8/128-divisible)
+
+
+def _band_kernel(slab_ref, xw_ref, y_ref):
+    _, R, WB = slab_ref.shape
+    # (GB, R, WB) * (GB, 1, WB) -> lane-tree reduce over the window.  All
+    # indexing is static: the x windows were gathered OUTSIDE the kernel
+    # (Mosaic requires 1024-aligned dynamic 1D loads, and aligning the
+    # windows would inflate stored bytes ~3x; the window gather is ~1.5%
+    # of slab traffic).
+    xw = xw_ref[:, :]
+    slab = slab_ref[:, :, :]
+    # Accumulate lane-block partial products (static unroll over the few
+    # window blocks), then one trailing-axis reduce — Mosaic supports
+    # single-trailing-dim reductions only.
+    acc = jnp.zeros((GB, R, LANES), slab.dtype)
+    for b in range(WB // LANES):
+        sl = slab[:, :, b * LANES:(b + 1) * LANES]
+        xb = xw[:, b * LANES:(b + 1) * LANES].reshape(GB, 1, LANES)
+        acc = acc + sl * xb
+    y_ref[:] = jnp.sum(acc, axis=2).reshape(GB * R)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _band_matvec_pallas(slabs, xwin, *, interpret=False):
+    ngroups, R, WB = slabs.shape
+    assert ngroups % GB == 0, ngroups
+    with jax.enable_x64(False):
+        grid_spec = pl.GridSpec(
+            grid=(ngroups // GB,),
+            in_specs=[
+                # Slab stripe streams HBM->VMEM, double-buffered by the
+                # BlockSpec pipeline.
+                pl.BlockSpec(
+                    (GB, R, WB),
+                    lambda g: (g, 0, 0),
+                    memory_space=pl.ANY if interpret else pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (GB, WB),
+                    lambda g: (g, 0),
+                    memory_space=pl.ANY if interpret else pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (GB * R,),
+                lambda g: (g,),
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
+            ),
+        )
+        y = pl.pallas_call(
+            _band_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ngroups * R,), slabs.dtype),
+            interpret=interpret,
+        )(slabs, xwin)
+    return y
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class _BandMat:
+    """One band-slab matrix (the mv direction)."""
+
+    slabs: jax.Array  # (ngroups, GR*BR, WB)
+    starts: jax.Array  # (ngroups,) int32
+    m: int
+    n: int
+
+    def _x_pad(self, x):
+        n_pad = _ceil(self.n, LANES) * LANES
+        if self.n == n_pad:
+            return x
+        return jnp.zeros((n_pad,), x.dtype).at[: self.n].set(x)
+
+    def _windows(self, x):
+        """(ngroups, WB) contiguous window gather of x (tiny vs slabs).
+
+        Starts are 128-aligned by construction, so the gather indexes
+        whole 128-lane BLOCKS — element-indexed gathers measured ~5x
+        slower on TPU for the same windows."""
+        x_pad = self._x_pad(x)
+        WB = self.slabs.shape[2]
+        x_blk = x_pad.reshape(-1, LANES)
+        blk_idx = (self.starts // LANES)[:, None] + jnp.arange(
+            WB // LANES, dtype=jnp.int32
+        )[None]
+        return x_blk[blk_idx].reshape(self.starts.shape[0], WB)
+
+    def matvec_xla(self, x):
+        """Portable path: windowed take + einsum (CPU tests, fallback)."""
+        y = jnp.einsum(
+            "grw,gw->gr",
+            self.slabs.astype(x.dtype),
+            self._windows(x),
+            preferred_element_type=x.dtype,
+        )
+        return y.reshape(-1)[: self.m]
+
+    def matvec(self, x, *, interpret=None):
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        if interpret:
+            return self.matvec_xla(x)
+        y = _band_matvec_pallas(
+            self.slabs.astype(x.dtype), self._windows(x)
+        )
+        return y.reshape(-1)[: self.m]
+
+    def matmat(self, X):
+        return jax.vmap(self.matvec_xla, in_axes=1, out_axes=1)(X)
+
+    def tree_flatten(self):
+        return (self.slabs, self.starts), (self.m, self.n)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BandOp(LinOp):
+    """LinOp over band-slab layouts of K and K' (both materialised)."""
+
+    fwd: _BandMat  # K
+    bwd: _BandMat  # K'
+
+    #: Default per-group window cap: 16 lane blocks = 2048 columns.  Wider
+    #: bands stop being "banded" for bandwidth purposes (stored bytes
+    #: approach dense) — the builder bails and the autotuner falls back.
+    MAX_WINDOW = 2048
+    GROUP_ROWS = 128  # 16 strips x 8 rows per grid step
+
+    @classmethod
+    def from_scipy(cls, K, dtype=jnp.float32, *, group_rows=None,
+                   max_window=None):
+        """Build both directions; None if either side is not band-like."""
+        K = K.tocoo() if sp.issparse(K) else sp.coo_matrix(np.asarray(K))
+        gr = group_rows or cls.GROUP_ROWS
+        mw = max_window or cls.MAX_WINDOW
+        f = _build_band(K, gr, mw)
+        if f is None:
+            return None
+        b = _build_band(K.T.tocoo(), gr, mw)
+        if b is None:
+            return None
+        mk = lambda e: _BandMat(
+            jnp.asarray(e.slabs, dtype), jnp.asarray(e.starts), e.m, e.n
+        )
+        op = cls(mk(f), mk(b))
+        op._nnz = f.nnz
+        return op
+
+    @property
+    def shape(self):
+        return (self.fwd.m, self.fwd.n)
+
+    @property
+    def dtype(self):
+        return self.fwd.slabs.dtype
+
+    def stored_bytes(self) -> int:
+        """Streamed bytes per mv+rmv pair (the roofline byte model)."""
+        item = jnp.dtype(self.dtype).itemsize
+        return (self.fwd.slabs.size + self.bwd.slabs.size) * item
+
+    def fill_ratio(self) -> float:
+        return getattr(self, "_nnz", 0) / max(1, self.fwd.slabs.size)
+
+    def mv(self, x):
+        return self.fwd.matvec(x)
+
+    def rmv(self, y):
+        return self.bwd.matvec(y)
+
+    def mm(self, X):
+        return self.fwd.matmat(X)
+
+    def rmm(self, Y):
+        return self.bwd.matmat(Y)
+
+    def row_abs_norms(self, ord):
+        a = jnp.abs(self.fwd.slabs)
+        if ord == "inf":
+            per = jnp.max(a, axis=2)
+        else:
+            per = jnp.sum(a**ord, axis=2) ** (1.0 / ord)
+        return per.reshape(-1)[: self.fwd.m]
+
+    def col_abs_norms(self, ord):
+        a = jnp.abs(self.bwd.slabs)
+        if ord == "inf":
+            per = jnp.max(a, axis=2)
+        else:
+            per = jnp.sum(a**ord, axis=2) ** (1.0 / ord)
+        return per.reshape(-1)[: self.bwd.m]
+
+    def _scale_mat(self, mat: _BandMat, d_row, d_col):
+        ngroups, R, WB = mat.slabs.shape
+        if mat.m == ngroups * R:
+            dr = d_row
+        else:
+            dr = jnp.zeros((ngroups * R,), d_row.dtype).at[: mat.m].set(
+                d_row
+            )
+        n_pad = _ceil(mat.n, LANES) * LANES
+        if mat.n == n_pad:
+            dc_pad = d_col
+        else:
+            dc_pad = jnp.zeros((n_pad,), d_col.dtype).at[: mat.n].set(
+                d_col
+            )
+        idx = mat.starts[:, None] + jnp.arange(WB, dtype=jnp.int32)[None]
+        dc_win = dc_pad[idx]  # (ngroups, WB)
+        slabs = (
+            mat.slabs
+            * dr.reshape(ngroups, R, 1)
+            * dc_win[:, None, :]
+        )
+        return _BandMat(slabs, mat.starts, mat.m, mat.n)
+
+    def scale(self, d_row, d_col):
+        out = BandOp(
+            self._scale_mat(self.fwd, d_row, d_col),
+            self._scale_mat(self.bwd, d_col, d_row),
+        )
+        out._nnz = getattr(self, "_nnz", None)
+        return out
+
+    def tree_flatten(self):
+        return (self.fwd, self.bwd), (getattr(self, "_nnz", None),)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        op = cls(children[0], children[1])
+        op._nnz = aux[0]
+        return op

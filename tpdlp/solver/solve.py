@@ -377,8 +377,9 @@ def solve(
     preserved — see tpdlp.shard.mesh.pad_problem_arrays).
 
     `matrix_format`: "dense" | "sparse" (BCOO with materialised transpose) |
-    "auto" (time both SpMV pairs and keep the faster, the reference's
-    `sparse_vs_dense` autotune, PDLP/util.py:29-74).
+    "band" (band-slab Pallas layout; raises when K is not band-like) |
+    "auto" (time the SpMV-pair candidates and keep the faster, the
+    reference's `sparse_vs_dense` autotune, PDLP/util.py:29-74).
 
     `presolve`: "off" | "python" | "cpp" — run the PaPILO-equivalent
     reduction engine first, solve the reduced LP, and map the solution back
@@ -497,6 +498,16 @@ def solve(
                     else sp.csr_matrix(problem.K)
                 )
                 op = SparseOp.from_scipy(K_sp, dtype)
+            elif matrix_format == "band":
+                from tpdlp.ops.band import BandOp
+
+                op = BandOp.from_scipy(problem.K, dtype)
+                if op is None:
+                    raise ValueError(
+                        "matrix_format='band': K is not band-like (some "
+                        "row-group's column span exceeds the window "
+                        "budget); use 'auto' or 'sparse'"
+                    )
             elif matrix_format == "auto":
                 op, _ = choose_operator(problem.K, dtype)
             else:
