@@ -189,3 +189,19 @@ def test_netlib_rejects_non_mps_payload(tmp_path):
             "junk", cache_dir=str(tmp_path / "cache"),
             mirrors=[f"file://{mirror_dir}/{{name}}.mps"],
         )
+
+
+def test_presolve_stats_over_corpus():
+    from tpdlp.bench.presolve_stats import run_stats
+
+    rows = run_stats(backends=("python", "cpp"))
+    assert len(rows) >= 10  # 5 feasible instances x 2 engines
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["instance"], {})[r["backend"]] = r
+    for name, engines in by_key.items():
+        # Engines agree on every reduction statistic.
+        a, b = engines["python"], engines["cpp"]
+        for k in ("status", "rows_removed_pct", "cols_removed_pct",
+                  "nnz_removed_pct", "passes"):
+            assert a[k] == b[k], (name, k, a[k], b[k])
