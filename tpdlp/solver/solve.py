@@ -196,6 +196,22 @@ def _extract(pb, st, use_prev: bool = False):
     return x, y, jnp.dot(pb.c0, x)
 
 
+def _fetch_bundle(tree):
+    """Device->host fetch of a result pytree.
+
+    Single-process: one batched `jax.device_get`.  Multi-process
+    (jax.distributed across hosts): sharded arrays span non-addressable
+    devices, so they are first allgathered across processes — every host
+    gets the full solution (all hosts run the identical control flow, so
+    the collective is matched).
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        tree = multihost_utils.process_allgather(tree, tiled=True)
+    return jax.device_get(tree)
+
+
 def _result_bundle(pb, st, use_prev: bool = False):
     """Everything the host needs from a finished solve, as one pytree (so it
     moves device->host in a single batched transfer)."""
@@ -706,7 +722,7 @@ def solve(
             break
         st_probed = pending.pop(0)
         if eager:
-            bundle = jax.device_get(
+            bundle = _fetch_bundle(
                 _result_bundle(pb, st_probed, use_prev)
             )
             j_done, status_now = int(bundle[0]), int(bundle[1])
@@ -769,7 +785,7 @@ def solve(
     # and drop mesh padding.  One batched transfer for the whole result
     # (or zero, when the eager probe already carried it).
     if fetch_final:
-        bundle = jax.device_get(_result_bundle(pb, st, use_prev))
+        bundle = _fetch_bundle(_result_bundle(pb, st, use_prev))
     (_, st_v, x_np, y_np, obj_v, k_v, n_v, rp_v, rd_v, gap_v) = bundle
     j_v = bundle[0]
     # The device state is authoritative when terminal: an in-flight chunk
