@@ -41,6 +41,11 @@ problem = generate_feasible_lp(n=45, m_ineq=26, m_eq=9, seed=0)
 cfg = SolverConfig(tol=1e-5, max_kkt=40_000, scaling="ruiz", adaptive=True)
 r = solve(problem, cfg, mesh=mesh, matrix_format="dense")
 assert r.status == Status.SOLVED, r.status_string
+# An UNSHARDED solve inside the distributed session must also work: its
+# arrays are fully addressable and must NOT be allgathered.
+p2 = generate_feasible_lp(n=20, m_ineq=12, m_eq=4, seed=1)
+r2 = solve(p2, SolverConfig(tol=1e-5, max_kkt=20_000, scaling="ruiz"))
+assert r2.status == Status.SOLVED, r2.status_string
 print(f"RESULT {proc_id} {r.iterations} {r.objective:.9f}", flush=True)
 """
 

@@ -134,14 +134,18 @@ def choose_operator(K, dtype=jnp.float32, kkt_passes: int = 10,
         stored_bytes = 2 * blocked.fwd.tiles.size * itemsize  # K and K'
         if not allow_dense:
             # No dense contender: block-ELL is the TPU sparse path unless
-            # its padding blows past the budget too, in which case BCOO
-            # (slow but compact) is the only representation that fits.
+            # its padding blows past the budget too.  A band candidate
+            # that fits still wins over the compact-but-gather-bound BCOO
+            # fallback — BCOO is the last resort only.
             budget = (
                 _DENSE_BYTES_BUDGET
                 if dense_bytes_budget is None
                 else dense_bytes_budget
             )
             if stored_bytes > budget:
+                if candidates:  # the band layout fits: use it
+                    label, op = candidates[0]
+                    return op, label
                 return SparseOp.from_scipy(coo.tocsr(), dtype), "sparse"
             candidates.append(("blocked", blocked))
         elif blocked.fill_ratio() > density * 1.5:

@@ -105,6 +105,36 @@ def _build_band(K: sp.coo_matrix, group_rows: int, max_window: int):
 GB = 8  # groups per grid step (keeps every block 8/128-divisible)
 
 
+def band_stored_elems(K, group_rows=None, max_window=None):
+    """Stored slab elements (fwd + bwd) of the band layout for K, WITHOUT
+    building the slabs — the cheap size estimate the fp64 program-size
+    guard needs.  None when K is not band-like (either direction)."""
+    K = K.tocoo() if sp.issparse(K) else sp.coo_matrix(np.asarray(K))
+    gr = group_rows or BandOp.GROUP_ROWS
+    mw = max_window or BandOp.MAX_WINDOW
+    total = 0
+    for row, col, m, n in (
+        (K.row, K.col, K.shape[0], K.shape[1]),
+        (K.col, K.row, K.shape[1], K.shape[0]),
+    ):
+        ngroups = _ceil(_ceil(m, gr), 8) * 8
+        grp = row.astype(np.int64) // gr
+        lo = np.full(ngroups, n, dtype=np.int64)
+        hi = np.full(ngroups, 0, dtype=np.int64)
+        np.minimum.at(lo, grp, col)
+        np.maximum.at(hi, grp, col)
+        empty = lo > hi
+        lo[empty] = 0
+        hi[empty] = 0
+        span = hi - (lo // LANES) * LANES + 1
+        wb = int(span.max()) if span.size else 1
+        WB = _ceil(wb, LANES) * LANES
+        if WB > mw:
+            return None
+        total += ngroups * gr * min(WB, _ceil(n, LANES) * LANES)
+    return total
+
+
 def _band_kernel(slab_ref, xw_ref, y_ref):
     _, R, WB = slab_ref.shape
     # (GB, R, WB) * (GB, 1, WB) -> lane-tree reduce over the window.  All

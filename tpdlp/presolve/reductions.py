@@ -565,9 +565,22 @@ def presolve(
         )
         if imp_l.size or imp_u.size:
             Kc_snap = K.tocsc()
+            # First entry (row-major order) achieving each column's best
+            # bound, found in ONE vectorized sweep — a per-column rescan
+            # of the entry arrays would be O(n_improved * nnz).
+            ent_idx = np.arange(ent_col.size)
+
+            def first_hits(imp, cand, best):
+                mask = np.zeros(n, dtype=bool)
+                mask[imp] = True
+                match = mask[ent_col] & (cand == best[ent_col])
+                first = np.full(n, ent_col.size, dtype=np.int64)
+                np.minimum.at(first, ent_col[match], ent_idx[match])
+                return first
+
+            first_l = first_hits(imp_l, cand_l, best_l)
             for j in imp_l:
-                hits = np.flatnonzero((ent_col == j) & (cand_l == best_l[j]))
-                e0 = hits[0]
+                e0 = first_l[j]
                 i = ent_row[e0]
                 dr, dv = col_snapshot(Kc_snap, j, i)
                 push_entry(
@@ -577,9 +590,9 @@ def presolve(
                     dc_rows=dr, dc_vals=dv,
                 )
                 l[j] = best_l[j]
+            first_u = first_hits(imp_u, cand_u, best_u)
             for j in imp_u:
-                hits = np.flatnonzero((ent_col == j) & (cand_u == best_u[j]))
-                e0 = hits[0]
+                e0 = first_u[j]
                 i = ent_row[e0]
                 dr, dv = col_snapshot(Kc_snap, j, i)
                 push_entry(

@@ -200,15 +200,28 @@ def _fetch_bundle(tree):
     """Device->host fetch of a result pytree.
 
     Single-process: one batched `jax.device_get`.  Multi-process
-    (jax.distributed across hosts): sharded arrays span non-addressable
-    devices, so they are first allgathered across processes — every host
-    gets the full solution (all hosts run the identical control flow, so
-    the collective is matched).
+    (jax.distributed across hosts): arrays actually SHARDED across
+    processes span non-addressable devices, so those leaves are
+    allgathered first — every host gets the full solution (all hosts run
+    the identical control flow, so the collectives are matched).  Fully
+    addressable leaves (a mesh=None solve inside a distributed session)
+    and fully replicated leaves (the scalar state entries) must NOT be
+    gathered: `process_allgather` stacks them to a (num_processes, ...)
+    array, breaking scalar probes.
     """
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        tree = multihost_utils.process_allgather(tree, tiled=True)
+        def fetch(x):
+            if (
+                hasattr(x, "is_fully_addressable")
+                and not x.is_fully_addressable
+                and not x.sharding.is_fully_replicated
+            ):
+                return multihost_utils.process_allgather(x, tiled=True)
+            return x
+
+        tree = jax.tree_util.tree_map(fetch, tree)
     return jax.device_get(tree)
 
 
@@ -258,6 +271,13 @@ def _f64_program_elems(problem, matrix_format: str) -> int:
     )
     if matrix_format == "sparse":
         return nnz
+    if matrix_format == "band":
+        from tpdlp.ops.band import band_stored_elems
+
+        est = band_stored_elems(problem.K)
+        # Not band-like: the operator build raises before any program is
+        # compiled, so the score only needs to not pre-block that error.
+        return est if est is not None else nnz
     # auto: dense is only a candidate below the autotuner's memory budget.
     from tpdlp.ops.autotune import dense_candidate_allowed
 
@@ -542,7 +562,6 @@ def solve(
         from tpdlp.ops.dense import DenseOp
         from tpdlp.shard.mesh import (
             flat_shardings,
-            pad_problem_arrays,
             pad_vectors,
             padded_sizes,
             padded_sizes_sparse,
