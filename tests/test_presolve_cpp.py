@@ -150,3 +150,85 @@ def test_cpp_matches_python_parallel_columns():
     np.testing.assert_allclose(
         postsolve(x_red, rc.data), postsolve(x_red, rp.data)
     )
+
+
+@pytest.mark.slow
+def test_cpp_python_lockstep_fuzz():
+    """Randomized planted-structure fuzz: both engines must agree on
+    status, reduction counts, the reduced problem, and the primal+dual
+    postsolve maps, across random fixed variables, singleton rows,
+    proportional duplicate rows, doubleton equalities, and emptied
+    columns."""
+    from tpdlp.presolve import postsolve_dual
+    from tpdlp.presolve.reductions import postsolve as ps
+
+    rng = np.random.default_rng(99)
+    for trial in range(25):
+        n = int(rng.integers(8, 60))
+        mi = int(rng.integers(2, 40))
+        me = int(rng.integers(1, 20))
+        p = generate_feasible_lp(
+            n=n, m_ineq=mi, m_eq=me,
+            density=float(rng.uniform(0.05, 0.5)),
+            seed=int(rng.integers(0, 10_000)),
+        )
+        K = p.K.tolil()
+        for _ in range(int(rng.integers(0, 4))):
+            j = int(rng.integers(0, p.n))
+            p.l[j] = p.u[j] = float(rng.uniform(-2, 2))
+        if rng.random() < 0.5 and p.n >= 2:
+            i = int(rng.integers(0, p.m))
+            K.rows[i] = [int(rng.integers(0, p.n))]
+            K.data[i] = [float(rng.choice([-1.5, 2.0]))]
+        if rng.random() < 0.5 and p.m >= 4:
+            i0, i1 = rng.choice(p.m, 2, replace=False)
+            lam = float(rng.choice([-2.0, 0.5, 3.0]))
+            K.rows[int(i1)] = list(K.rows[int(i0)])
+            K.data[int(i1)] = [lam * v for v in K.data[int(i0)]]
+            p.q[int(i1)] = lam * p.q[int(i0)] - abs(rng.normal())
+        if rng.random() < 0.5 and p.m - mi >= 1 and p.n >= 3:
+            i = mi + int(rng.integers(0, p.m - mi))
+            j1, j2 = rng.choice(p.n, 2, replace=False)
+            K.rows[i] = sorted([int(j1), int(j2)])
+            K.data[i] = [float(rng.uniform(0.5, 2)),
+                         float(rng.uniform(0.5, 2))]
+            p.l[int(j1)] = -50.0
+            p.u[int(j1)] = 50.0
+        if rng.random() < 0.3:
+            j = int(rng.integers(0, p.n))
+            for i in range(p.m):
+                if j in K.rows[i]:
+                    idx = K.rows[i].index(j)
+                    K.rows[i].pop(idx)
+                    K.data[i].pop(idx)
+        p.K = sp.csr_matrix(K)
+
+        rp = presolve(p, backend="python")
+        rc = presolve(p, backend="cpp")
+        assert rc.status == rp.status, trial
+        assert rc.rows_removed == rp.rows_removed, trial
+        assert rc.cols_removed == rp.cols_removed, trial
+        if rp.status == Status.RUNNING:
+            np.testing.assert_allclose(
+                rc.problem.K.toarray(), rp.problem.K.toarray(),
+                rtol=1e-10, atol=1e-12, err_msg=str(trial),
+            )
+            np.testing.assert_allclose(
+                rc.problem.q, rp.problem.q, rtol=1e-10
+            )
+            x_red = rng.standard_normal(rp.problem.n)
+            xa = ps(x_red, rp.data)
+            np.testing.assert_allclose(
+                xa, ps(x_red, rc.data), rtol=1e-9, atol=1e-10
+            )
+            y_red = rng.standard_normal(rp.problem.m)
+            np.testing.assert_allclose(
+                postsolve_dual(y_red, xa, rp.data),
+                postsolve_dual(y_red, xa, rc.data),
+                rtol=1e-9, atol=1e-10,
+            )
+        elif rp.status == Status.SOLVED:
+            np.testing.assert_allclose(
+                ps(np.zeros(0), rp.data), ps(np.zeros(0), rc.data),
+                rtol=1e-9, atol=1e-10,
+            )
