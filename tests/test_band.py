@@ -134,3 +134,18 @@ def test_roofline_formats_run(fmt):
     assert r["iterations"] > 0
     assert np.isfinite(r["sec_per_iter"]) and r["sec_per_iter"] > 0
     assert r["op_mbytes"] > 0
+
+
+def test_band_device_build_matches_host_build():
+    """The on-device COO scatter assembles the identical slabs as the
+    host numpy build (the default ships 12 bytes/nnz instead of the
+    zero-padded slab array)."""
+    K = _banded(520, 640, 21, seed=8)
+    a = BandOp.from_scipy(K, dtype=jnp.float64, device_build=True)
+    b = BandOp.from_scipy(K, dtype=jnp.float64, device_build=False)
+    np.testing.assert_array_equal(np.asarray(a.fwd.starts),
+                                  np.asarray(b.fwd.starts))
+    np.testing.assert_allclose(np.asarray(a.fwd.slabs),
+                               np.asarray(b.fwd.slabs), rtol=1e-15)
+    np.testing.assert_allclose(np.asarray(a.bwd.slabs),
+                               np.asarray(b.bwd.slabs), rtol=1e-15)

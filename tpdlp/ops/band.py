@@ -63,9 +63,16 @@ class _BandData:
     nnz: int
 
 
-def _build_band(K: sp.coo_matrix, group_rows: int, max_window: int):
-    """Host-side layout build; None when some group's span exceeds the
-    window budget (caller falls back to ELL)."""
+def _build_band(K: sp.coo_matrix, group_rows: int, max_window: int,
+                dtype=None, device_build: bool = False):
+    """Layout build; None when some group's span exceeds the window budget
+    (caller falls back to ELL).
+
+    `device_build=True` assembles the slabs ON DEVICE by a flat COO
+    scatter (12 bytes/nnz shipped instead of the full zero-padded slab
+    array — 3-4x less host->device traffic for real band densities, and
+    no host-side dense intermediate).
+    """
     m, n = K.shape
     rows_per_group = group_rows
     # Grid steps process GB groups at a time: pad the group count.
@@ -93,12 +100,25 @@ def _build_band(K: sp.coo_matrix, group_rows: int, max_window: int):
     WB = min(WB, n_pad)
     start = np.minimum(start, n_pad - WB)
 
-    slabs = np.zeros((ngroups, rows_per_group, WB), dtype=np.float64)
-    np.add.at(
-        slabs,
-        (grp, row % rows_per_group, col - start[grp]),
-        K.data,
-    )
+    if device_build:
+        flat = (grp * rows_per_group + row % rows_per_group) * WB + (
+            col - start[grp]
+        )
+        total = ngroups * rows_per_group * WB
+        slabs = (
+            jnp.zeros((total,), dtype)
+            .at[jnp.asarray(flat, jnp.int32 if total < 2**31
+                            else jnp.int64)]
+            .add(jnp.asarray(K.data, dtype))
+            .reshape(ngroups, rows_per_group, WB)
+        )
+    else:
+        slabs = np.zeros((ngroups, rows_per_group, WB), dtype=np.float64)
+        np.add.at(
+            slabs,
+            (grp, row % rows_per_group, col - start[grp]),
+            K.data,
+        )
     return _BandData(slabs, start.astype(np.int32), m, n, int(K.nnz))
 
 
@@ -268,15 +288,19 @@ class BandOp(LinOp):
 
     @classmethod
     def from_scipy(cls, K, dtype=jnp.float32, *, group_rows=None,
-                   max_window=None):
-        """Build both directions; None if either side is not band-like."""
+                   max_window=None, device_build: bool = True):
+        """Build both directions; None if either side is not band-like.
+
+        `device_build` (default) ships COO triplets and scatters the
+        slabs on device; False keeps the host numpy build (tests)."""
         K = K.tocoo() if sp.issparse(K) else sp.coo_matrix(np.asarray(K))
         gr = group_rows or cls.GROUP_ROWS
         mw = max_window or cls.MAX_WINDOW
-        f = _build_band(K, gr, mw)
+        f = _build_band(K, gr, mw, dtype=dtype, device_build=device_build)
         if f is None:
             return None
-        b = _build_band(K.T.tocoo(), gr, mw)
+        b = _build_band(K.T.tocoo(), gr, mw, dtype=dtype,
+                        device_build=device_build)
         if b is None:
             return None
         mk = lambda e: _BandMat(
