@@ -472,3 +472,31 @@ def test_duplicate_rows_rhs_winner_moves_dual(backend):
     # Kept row carries no weight; the pair is KKT-consistent.
     assert y[0] == pytest.approx(0.0, abs=1e-6)
     assert dual_violation(p, x, y) < 1e-5
+
+
+def test_file_level_dual_postsolve(tmp_path):
+    """File-level round trip recovers a KKT-consistent dual (beyond the
+    reference wrapper, which is primal-only)."""
+    from tests.oracles import dual_violation
+    from tpdlp import read_mps, write_mps
+    from tpdlp.presolve import (
+        postsolve_dual_solution, postsolve_solution, presolve_mps,
+    )
+
+    p = _lp([1.0, 0.5, 0.2], [[1, 0, 1], [2, 1, 0]], [1, 4], 1,
+            [-100, 0, 0], [100, 1, 5])
+    src = tmp_path / "orig.mps"
+    red = tmp_path / "reduced.mps"
+    trans = tmp_path / "trans.npz"
+    write_mps(p, str(src))
+    stats = presolve_mps(str(src), str(red), str(trans), backend="cpp")
+    if stats["reduced_rows"] > 0:
+        rp = read_mps(str(red))
+        s = solve(rp, SolverConfig(tol=1e-9, abs_gap_termination=True))
+        x_red, y_red = s.x, s.y
+    else:
+        x_red, y_red = np.zeros(0), np.zeros(0)
+    x = postsolve_solution(x_red, str(trans))
+    y = postsolve_dual_solution(y_red, x, str(trans))
+    p2 = read_mps(str(src))
+    assert dual_violation(p2, x, y) < 1e-5

@@ -37,6 +37,10 @@ def parse_args(argv=None):
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--support_sparse", action="store_true",
                    help="Autotune dense vs sparse constraint operator")
+    p.add_argument("--matrix_format", type=str, default=None,
+                   choices=["dense", "sparse", "band", "auto"],
+                   help="Force the operator layout (overrides "
+                        "--support_sparse; 'band' = band-slab Pallas)")
     p.add_argument("--max_kkt", type=int, default=100_000)
     p.add_argument("--time_limit", type=int, default=3600)
     p.add_argument("--fishnet", action="store_true",
@@ -243,8 +247,11 @@ def main(argv=None):
                 problem, cfg, dtype=dtype, x0=x0, y0=y0, seed=args.seed,
                 time_used=time_used, mesh=mesh, presolve=args.presolve,
                 # Reference parity: --support_sparse runs the dense/sparse
-                # representation autotune (PDLP/util.py:29-74).
-                matrix_format="auto" if args.support_sparse else "dense",
+                # representation autotune (PDLP/util.py:29-74);
+                # --matrix_format forces a layout explicitly.
+                matrix_format=args.matrix_format or (
+                    "auto" if args.support_sparse else "dense"
+                ),
             )
             print(f"Solver uses {result.solve_time:.4f} seconds.")
             print(f"Status: {result.status_string}")

@@ -1,7 +1,9 @@
 from tpdlp.presolve.reductions import (
     presolve, postsolve, postsolve_dual, PostsolveData,
 )
-from tpdlp.presolve.files import presolve_mps, postsolve_solution
+from tpdlp.presolve.files import (
+    presolve_mps, postsolve_solution, postsolve_dual_solution,
+)
 
 __all__ = [
     "presolve",
@@ -10,4 +12,5 @@ __all__ = [
     "PostsolveData",
     "presolve_mps",
     "postsolve_solution",
+    "postsolve_dual_solution",
 ]

@@ -63,3 +63,21 @@ def postsolve_solution(
     (reference: papilo_wrapper.cpp:37-45)."""
     data = PostsolveData.load(transformation_file)
     return postsolve(np.asarray(reduced_solution, dtype=np.float64), data)
+
+
+def postsolve_dual_solution(
+    reduced_dual, full_primal, transformation_file: str
+) -> np.ndarray:
+    """Map a reduced-space DUAL solution back to the original rows.
+
+    Beyond the reference wrapper (which is primal-only): needs the
+    postsolved full primal point (from `postsolve_solution`) because
+    bound-transfer recovery is conditioned on bound activity."""
+    from tpdlp.presolve.reductions import postsolve_dual
+
+    data = PostsolveData.load(transformation_file)
+    return postsolve_dual(
+        np.asarray(reduced_dual, dtype=np.float64),
+        np.asarray(full_primal, dtype=np.float64),
+        data,
+    )
