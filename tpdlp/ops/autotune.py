@@ -56,34 +56,50 @@ def _dense_from_coo(coo: sp.coo_matrix, dtype) -> DenseOp:
 
 
 def _time_op(op, kkt_passes: int = 10) -> float:
+    """Marginal seconds per SpMV pair for `op`.
+
+    Chained SpMV pairs (each pass feeds the next, so a backend that
+    caches identical dispatches cannot short-circuit the work), timed at
+    TWO chain lengths: the slope cancels the fixed per-dispatch cost
+    (~30 ms on remote-tunnel backends), which would otherwise drown the
+    per-pass difference between candidates for small operators.
+    """
     m, n = op.shape
     key = jax.random.PRNGKey(0)
     kx, ky = jax.random.split(key)
     x = jax.random.normal(kx, (n,), dtype=op.dtype)
     y = jax.random.normal(ky, (m,), dtype=op.dtype)
 
-    # Chained SpMV pairs: each pass feeds the next, so a backend that
-    # caches identical dispatches (remote-tunnel TPU runtimes do) cannot
-    # short-circuit the work.
-    @jax.jit
-    def chain(x, y):
-        def body(_, xy):
-            xv, yv = xy
-            kx_ = op.mv(xv)
-            kty = op.rmv(yv)
-            return (
-                xv + kty / (1.0 + jnp.max(jnp.abs(kty))),
-                yv + kx_ / (1.0 + jnp.max(jnp.abs(kx_))),
-            )
+    def chain_fn(passes):
+        @jax.jit
+        def chain(x, y):
+            def body(_, xy):
+                xv, yv = xy
+                kx_ = op.mv(xv)
+                kty = op.rmv(yv)
+                return (
+                    xv + kty / (1.0 + jnp.max(jnp.abs(kty))),
+                    yv + kx_ / (1.0 + jnp.max(jnp.abs(kx_))),
+                )
 
-        return jax.lax.fori_loop(0, kkt_passes, body, (x, y))
+            return jax.lax.fori_loop(0, passes, body, (x, y))
 
-    a, b = chain(x, y)  # compile + warm
-    float(a[0]); float(b[0])
-    t0 = time.perf_counter()
-    a, b = chain(x, y + 1.0)  # perturbed: not a byte-identical dispatch
-    float(a[0]); float(b[0])  # sync
-    return time.perf_counter() - t0
+        return chain
+
+    lo, hi = kkt_passes, 6 * kkt_passes
+
+    def timed(passes, dy):
+        chain = chain_fn(passes)
+        a, b = chain(x, y + dy)  # compile + warm (distinct dispatch)
+        float(a[0]); float(b[0])
+        t0 = time.perf_counter()
+        a, b = chain(x, y + (dy + 1.0))  # perturbed: never byte-identical
+        float(a[0]); float(b[0])  # sync
+        return time.perf_counter() - t0
+
+    t_lo = timed(lo, 0.0)
+    t_hi = timed(hi, 2.0)
+    return max(t_hi - t_lo, 1e-9) / (hi - lo)
 
 
 def choose_operator(K, dtype=jnp.float32, kkt_passes: int = 10,
