@@ -169,3 +169,133 @@ def test_escalation_warm_starts_correctly_scaled():
     assert result.status == Status.SOLVED
     assert result.primal_res <= 1e-8 * (1 + np.linalg.norm(problem.q))
     assert time.perf_counter() - t0 < 120
+
+
+# ---- round-2 full-tree review fixes ----
+
+
+def test_presolve_passes_history_through():
+    p = generate_feasible_lp(n=25, m_ineq=15, m_eq=5, seed=3)
+    p.l[2] = p.u[2] = 1.0
+    r = solve(
+        p, SolverConfig(tol=1e-6, max_kkt=60_000, scaling="ruiz"),
+        presolve="python", log_history=True,
+    )
+    assert r.status == Status.SOLVED
+    assert r.history is not None and len(r.history) >= 1
+
+
+def test_presolve_warm_start_raises():
+    p = generate_feasible_lp(n=20, m_ineq=12, m_eq=4, seed=0)
+    with pytest.raises(ValueError, match="warm start"):
+        solve(p, SolverConfig(), presolve="python",
+              x0=np.zeros(p.n), y0=np.zeros(p.m))
+
+
+def test_pinched_infinite_bounds_rejected():
+    from tpdlp.problem import LPProblem
+    import scipy.sparse as sp
+
+    with pytest.raises(ValueError, match="infinite"):
+        LPProblem(
+            c=np.array([1.0]), K=sp.csr_matrix(np.array([[1.0]])),
+            q=np.array([0.0]), m_ineq=1,
+            l=np.array([-np.inf]), u=np.array([-np.inf]),
+        ).validate()
+
+
+def test_write_mps_declares_empty_zero_cost_column():
+    import scipy.sparse as sp
+
+    from tpdlp import read_mps, write_mps
+    from tpdlp.problem import LPProblem
+
+    p = LPProblem(
+        c=np.array([1.0, 0.0]),
+        K=sp.csr_matrix(np.array([[1.0, 0.0]])),
+        q=np.array([1.0]), m_ineq=1,
+        l=np.array([0.0, 0.0]), u=np.array([10.0, 5.0]),
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.mps")
+        write_mps(p, path)
+        p2 = read_mps(path)
+    assert p2.n == 2  # the empty zero-cost column survives the round trip
+
+
+def test_bounds_without_set_name_parse():
+    import tempfile, os
+
+    from tpdlp import read_mps
+
+    text = """NAME T
+ROWS
+ N COST
+ G R1
+COLUMNS
+ X1 COST 1.0 R1 1.0
+ X2 COST 1.0 R1 1.0
+RHS
+ RHS R1 1.0
+BOUNDS
+ UP X1 5.0
+ MI X2
+ENDATA
+"""
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.mps")
+        with open(path, "w") as f:
+            f.write(text)
+        p = read_mps(path)
+    assert p.u[0] == 5.0
+    assert np.isneginf(p.l[1])
+
+
+def test_bounds_missing_value_is_clear_error():
+    import tempfile, os
+
+    from tpdlp import read_mps
+
+    text = """NAME T
+ROWS
+ N COST
+ G R1
+COLUMNS
+ X1 COST 1.0 R1 1.0
+RHS
+ RHS R1 1.0
+BOUNDS
+ UP BND X1
+ENDATA
+"""
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.mps")
+        with open(path, "w") as f:
+            f.write(text)
+        with pytest.raises(ValueError, match="BOUNDS"):
+            read_mps(path)
+
+
+def test_mesh_band_format_rejected():
+    import jax
+
+    from tpdlp.shard import make_solver_mesh
+
+    p = generate_feasible_lp(n=16, m_ineq=8, m_eq=4, seed=0)
+    mesh = make_solver_mesh(jax.devices()[:1], shape=(1, 1))
+    with pytest.raises(ValueError, match="single-device"):
+        solve(p, SolverConfig(), mesh=mesh, matrix_format="band")
+
+
+def test_ell_stored_elems_matches_build():
+    import scipy.sparse as sp
+
+    from tpdlp.ops.blocked import BlockEllOp, ell_stored_elems
+
+    rng = np.random.default_rng(4)
+    K = sp.random(300, 500, density=0.02, random_state=rng, format="coo")
+    est = ell_stored_elems(K)
+    op = BlockEllOp.from_scipy(K.tocsr())
+    real = op.fwd.tiles.size + op.bwd.tiles.size
+    assert est == real

@@ -77,6 +77,12 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
+    if args.fishnet and args.presolve != "off":
+        raise SystemExit(
+            "--fishnet cannot be combined with --presolve: the fishnet "
+            "warm start lives in the original variable space but the "
+            "solve would run on the presolve-reduced problem"
+        )
     if args.device != "auto":
         os.environ.setdefault("JAX_PLATFORMS", args.device)
     import jax

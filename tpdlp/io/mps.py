@@ -95,9 +95,35 @@ def _parse_sections(lines):
             for i in range(1, len(tokens) - 1, 2):
                 data["ranges"][tokens[i]] = float(tokens[i + 1])
         elif section == "BOUNDS":
+            # Layouts in the wild: "TYPE SET VAR [VAL]" (standard) and
+            # "TYPE VAR [VAL]" (no bound-set name — emitted by several LP
+            # tools).  Value-bearing types take the LAST token as the
+            # value; valueless types may still carry a dummy numeric
+            # (e.g. "BV BND X 1").
             btype = tokens[0].upper()
-            var = tokens[2] if len(tokens) >= 3 else tokens[1]
-            val = float(tokens[3]) if len(tokens) > 3 else None
+            rest = tokens[1:]
+            needs_val = btype in ("LO", "UP", "FX", "UI", "LI")
+            if needs_val:
+                if len(rest) < 2:
+                    raise ValueError(
+                        f"BOUNDS line missing a value: {line!r}"
+                    )
+                try:
+                    val = float(rest[-1])
+                except ValueError:
+                    raise ValueError(
+                        f"BOUNDS line has a non-numeric value: {line!r}"
+                    ) from None
+                var = rest[-2]
+            else:
+                val = None
+                var = rest[-1]
+                if len(rest) >= 3:
+                    try:
+                        float(rest[-1])
+                        var = rest[-2]  # trailing dummy numeric
+                    except ValueError:
+                        pass
             data["bounds"].append((btype, var, val))
         # _SKIP_* sections: ignore body lines.
     return data

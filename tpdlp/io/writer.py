@@ -37,7 +37,10 @@ def write_mps(problem, path) -> None:
     lines.append("COLUMNS")
     Kc = K.tocsc()
     for j in range(n):
-        if problem.c[j] != 0.0:
+        # A variable with zero cost AND an empty column must still be
+        # declared (MPS variables exist only via COLUMNS entries; dropping
+        # one breaks the presolve round trip's dimension contract).
+        if problem.c[j] != 0.0 or Kc.indptr[j] == Kc.indptr[j + 1]:
             lines.append(f" {vname(j)} COST {problem.c[j]:.17g}")
         start, end = Kc.indptr[j], Kc.indptr[j + 1]
         for idx in range(start, end):

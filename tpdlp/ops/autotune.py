@@ -145,28 +145,32 @@ def choose_operator(K, dtype=jnp.float32, kkt_passes: int = 10,
             ).itemsize
         ):
             candidates.append(("band", band))
-        blocked = BlockEllOp.from_scipy(coo.tocsr(), dtype)
+        # Estimate the block-ELL stored size BEFORE building it: the host
+        # build allocates the full zero-padded float64 tile arrays, which
+        # for scattered sparsity can be tens of GB.
+        from tpdlp.ops.blocked import ell_stored_elems
+
         itemsize = jnp.dtype(dtype).itemsize
-        stored_bytes = 2 * blocked.fwd.tiles.size * itemsize  # K and K'
-        if not allow_dense:
-            # No dense contender: block-ELL is the TPU sparse path unless
-            # its padding blows past the budget too.  A band candidate
-            # that fits still wins over the compact-but-gather-bound BCOO
-            # fallback — BCOO is the last resort only.
-            budget = (
-                _DENSE_BYTES_BUDGET
-                if dense_bytes_budget is None
-                else dense_bytes_budget
-            )
-            if stored_bytes > budget:
-                if candidates:  # the band layout fits: use it
+        stored_bytes = ell_stored_elems(coo) * itemsize
+        budget = (
+            _DENSE_BYTES_BUDGET
+            if dense_bytes_budget is None
+            else dense_bytes_budget
+        )
+        if stored_bytes > budget:
+            if not allow_dense:
+                # No dense contender either.  A band candidate that fits
+                # still wins over the compact-but-gather-bound BCOO
+                # fallback — BCOO is the last resort only.
+                if candidates:
                     label, op = candidates[0]
                     return op, label
                 return SparseOp.from_scipy(coo.tocsr(), dtype), "sparse"
-            candidates.append(("blocked", blocked))
-        elif blocked.fill_ratio() > density * 1.5:
-            # Only contend if the padded tile stream saves bandwidth.
-            candidates.append(("blocked", blocked))
+        else:
+            blocked = BlockEllOp.from_scipy(coo.tocsr(), dtype)
+            if not allow_dense or blocked.fill_ratio() > density * 1.5:
+                # Dense absent, or the padded tile stream saves bandwidth.
+                candidates.append(("blocked", blocked))
     else:
         candidates.append(("sparse", SparseOp.from_scipy(coo.tocsr(), dtype)))
 

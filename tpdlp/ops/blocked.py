@@ -91,6 +91,29 @@ def _build_ell(K: sp.coo_matrix) -> _EllData:
     return _EllData(tiles, col_idx, m, n, int(K.nnz))
 
 
+def ell_stored_elems(K) -> int:
+    """Stored tile elements (fwd + bwd) of the block-ELL layout for K,
+    WITHOUT building the tiles — the cheap estimate that gates the host
+    build (whose zero-padded float64 tile arrays can be tens of GB for
+    scattered sparsity)."""
+    K = K.tocoo() if sp.issparse(K) else sp.coo_matrix(np.asarray(K))
+    total = 0
+    for row, col, m, n in (
+        (K.row, K.col, K.shape[0], K.shape[1]),
+        (K.col, K.row, K.shape[1], K.shape[0]),
+    ):
+        mb = -(-(-(-m // BR)) // 8) * 8
+        rb = row.astype(np.int64) // BR
+        cb = col.astype(np.int64) // BC
+        key = rb * ((n // BC) + 2) + cb
+        uniq = np.unique(key)
+        tile_rb = uniq // ((n // BC) + 2)
+        counts = np.bincount(tile_rb, minlength=mb)
+        W = max(1, int(counts.max()) if uniq.size else 1)
+        total += mb * W * BR * BC
+    return total
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class _EllMat:

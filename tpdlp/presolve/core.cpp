@@ -265,8 +265,11 @@ bool pass_singleton_rows(Problem& p, Result& r) {
     any = true;
   }
   for (size_t j = 0; j < p.l.size(); ++j) {
-    // NaN threshold (u = -inf) compares false, matching numpy.
-    const double thr = p.u[j] + 1e-9 * (1.0 + std::fabs(p.u[j]));
+    // NaN-safe: u = -inf would give -inf + inf = NaN (comparison false)
+    // and silently miss the infeasibility.
+    const double thr = (std::isinf(p.u[j]) && p.u[j] < 0)
+                           ? -kInf
+                           : p.u[j] + 1e-9 * (1.0 + std::fabs(p.u[j]));
     if (p.l[j] > thr) {
       r.status = kPrimalInfeasible;
       return false;

@@ -461,7 +461,12 @@ def presolve(
                     l[j] = max(l[j], v)
                     u[j] = min(u[j], v)
                 drop_rows[i] = True
-            if np.any(l > u + 1e-9 * (1 + np.abs(u))):
+            # NaN-safe threshold: u = -inf would give -inf + inf = NaN and
+            # the comparison would silently miss the infeasibility.
+            thr = np.where(
+                np.isneginf(u), -np.inf, u + 1e-9 * (1 + np.abs(u))
+            )
+            if np.any(l > thr):
                 fail(Status.PRIMAL_INFEASIBLE)
                 break
             keep = ~drop_rows

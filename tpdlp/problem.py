@@ -77,6 +77,12 @@ class LPProblem:
         bad = np.flatnonzero(~(self.l <= self.u))
         _req(bad.size == 0,
              f"box bounds l > u at variable indices {bad[:5].tolist()}")
+        pinched_inf = np.flatnonzero(
+            (self.l == self.u) & ~np.isfinite(self.l)
+        )
+        _req(pinched_inf.size == 0,
+             "variables pinned at an infinite value (l == u == +-inf) at "
+             f"indices {pinched_inf[:5].tolist()}")
         for label, v in (("c", self.c), ("q", self.q)):
             _req(np.all(np.isfinite(v)), f"non-finite entries in {label}")
         _req(not np.any(np.isnan(self.l)) and not np.any(np.isnan(self.u)),

@@ -434,7 +434,13 @@ def solve(
             postsolve_dual as run_postsolve_dual,
         )
 
-        assert x0 is None and y0 is None, "presolve + warm start unsupported"
+        if x0 is not None or y0 is not None:
+            raise ValueError(
+                "presolve + warm start is unsupported: x0/y0 are in the "
+                "ORIGINAL variable/row space but the inner solve runs on "
+                "the reduced problem; disable presolve or drop the warm "
+                "start"
+            )
         pres = run_presolve(problem, backend=presolve)
         pre_time = time.perf_counter() - start
         if pres.status != Status.RUNNING:
@@ -460,10 +466,15 @@ def solve(
                 dual_res=0.0,
                 gap=0.0,
             )
+        # Checkpoint/resume and history ride on the inner (reduced-space)
+        # solve — a resume must pair with the same presolve backend so the
+        # reduced problem (and hence the saved carry's shapes) match.
         inner = solve(
             pres.problem, cfg, dtype=dtype, seed=seed,
             time_used=time_used + pre_time, mesh=mesh,
             matrix_format=matrix_format,
+            checkpoint_path=checkpoint_path, resume=resume,
+            log_history=log_history,
         )
         x_full = run_postsolve(inner.x, pres.data)
         # Dual postsolve (beyond the reference, whose PaPILO round trip is
@@ -481,6 +492,7 @@ def solve(
             primal_res=inner.primal_res,
             dual_res=inner.dual_res,
             gap=inner.gap,
+            history=inner.history,
         )
 
     if dtype is None:
@@ -576,7 +588,14 @@ def solve(
         # matrix; "sparse" -> block-ELL with a flat 1D row-strip partition
         # (the path for single LPs too big to densify, SURVEY §2.3);
         # "auto" -> dense only while the dense matrix fits the memory
-        # budget, sparse beyond it.
+        # budget, sparse beyond it.  The band-slab layout has no sharded
+        # variant yet — refuse rather than silently densifying the exact
+        # instance class the band layout exists for.
+        if matrix_format == "band":
+            raise ValueError(
+                "matrix_format='band' is single-device only; with a mesh "
+                "use 'sparse' (block-ELL row strips) or 'auto'"
+            )
         sparse_mesh = matrix_format == "sparse" or (
             matrix_format == "auto"
             and not dense_candidate_allowed(m, n, dtype)
