@@ -277,15 +277,21 @@ ENDATA
             read_mps(path)
 
 
-def test_mesh_band_format_rejected():
+def test_mesh_band_small_instance_solves():
+    """mesh + matrix_format='band' routes through the sharded band path
+    (flat partition, take+einsum); small instances fit one window."""
     import jax
 
     from tpdlp.shard import make_solver_mesh
+    from tests.oracles import solve_oracle
 
     p = generate_feasible_lp(n=16, m_ineq=8, m_eq=4, seed=0)
     mesh = make_solver_mesh(jax.devices()[:1], shape=(1, 1))
-    with pytest.raises(ValueError, match="single-device"):
-        solve(p, SolverConfig(), mesh=mesh, matrix_format="band")
+    r = solve(p, SolverConfig(tol=1e-6, max_kkt=40_000), mesh=mesh,
+              matrix_format="band")
+    assert r.status == Status.SOLVED
+    o = solve_oracle(p)
+    assert abs(r.objective - o.fun) < 1e-3 * (1 + abs(o.fun))
 
 
 def test_ell_stored_elems_matches_build():

@@ -165,3 +165,57 @@ def test_escalation_fp64_tail_bails_on_single_device(monkeypatch):
     with pytest.warns(RuntimeWarning, match="skipped the fp64 tail"):
         r = solve_mod._solve_escalated(problem, cfg)
     assert r.status == Status.KKT_LIMIT
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (1, 8)])
+def test_sharded_band_solve_matches_oracle(shape):
+    """Band-slab layout over the flat mesh partition (the >HBM path for
+    BANDED single LPs): padded build, take+einsum SpMV (GSPMD partitions
+    it; the Pallas kernel is single-device only)."""
+    from tpdlp import generate_banded_lp
+
+    mesh = make_solver_mesh(shape=shape)
+    problem = generate_banded_lp(n=700, m_ineq=350, m_eq=170,
+                                 bandwidth=33, seed=9)
+    cfg = SolverConfig(tol=1e-6, max_kkt=80_000, scaling="ruiz",
+                       adaptive=True)
+    result = solve(problem, cfg, mesh=mesh, matrix_format="band")
+    oracle = solve_oracle(problem)
+    assert result.status == Status.SOLVED
+    assert oracle.status == 0
+    np.testing.assert_allclose(result.objective, oracle.fun,
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_band_actually_partitions():
+    """The slabs really are split across all 8 devices."""
+    import jax.numpy as jnp
+
+    from tpdlp import generate_banded_lp
+    from tpdlp.ops.band import BandOp
+    from tpdlp.shard.mesh import padded_sizes_band, shard_band
+
+    mesh = make_solver_mesh(shape=(2, 4))
+    p = generate_banded_lp(n=1024, m_ineq=512, m_eq=256, bandwidth=33,
+                           seed=2)
+    import scipy.sparse as sp
+
+    m_pad, n_pad = padded_sizes_band(p.m, p.n, mesh)
+    coo = p.K.tocoo()
+    coo = sp.coo_matrix((coo.data, (coo.row, coo.col)),
+                        shape=(m_pad, n_pad))
+    op = shard_band(BandOp.from_scipy(coo, jnp.float32), mesh)
+    assert not op.use_pallas
+    assert len(op.fwd.slabs.sharding.device_set) == 8
+    shard_rows = {
+        s.data.shape[0] for s in op.fwd.slabs.addressable_shards
+    }
+    assert shard_rows == {op.fwd.slabs.shape[0] // 8}
+
+
+def test_sharded_band_rejects_non_bandlike():
+    mesh = make_solver_mesh(shape=(2, 4))
+    problem = generate_feasible_lp(n=4000, m_ineq=64, m_eq=16,
+                                   density=0.05, seed=1)
+    with pytest.raises(ValueError, match="band-like"):
+        solve(problem, SolverConfig(), mesh=mesh, matrix_format="band")

@@ -275,10 +275,15 @@ class _BandMat:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class BandOp(LinOp):
-    """LinOp over band-slab layouts of K and K' (both materialised)."""
+    """LinOp over band-slab layouts of K and K' (both materialised).
+
+    `use_pallas=False` forces the portable take+einsum path — required
+    when the operator is SHARDED over a mesh (GSPMD partitions XLA
+    gathers/einsums but not custom Pallas kernels)."""
 
     fwd: _BandMat  # K
     bwd: _BandMat  # K'
+    use_pallas: bool = True
 
     #: Default per-group window cap: 16 lane blocks = 2048 columns.  Wider
     #: bands stop being "banded" for bandwidth purposes (stored bytes
@@ -327,9 +332,13 @@ class BandOp(LinOp):
         return getattr(self, "_nnz", 0) / max(1, self.fwd.slabs.size)
 
     def mv(self, x):
+        if not self.use_pallas:
+            return self.fwd.matvec_xla(x)
         return self.fwd.matvec(x)
 
     def rmv(self, y):
+        if not self.use_pallas:
+            return self.bwd.matvec_xla(y)
         return self.bwd.matvec(y)
 
     def mm(self, X):
@@ -382,15 +391,18 @@ class BandOp(LinOp):
         out = BandOp(
             self._scale_mat(self.fwd, d_row, d_col),
             self._scale_mat(self.bwd, d_col, d_row),
+            use_pallas=self.use_pallas,
         )
         out._nnz = getattr(self, "_nnz", None)
         return out
 
     def tree_flatten(self):
-        return (self.fwd, self.bwd), (getattr(self, "_nnz", None),)
+        return (self.fwd, self.bwd), (
+            getattr(self, "_nnz", None), self.use_pallas,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        op = cls(children[0], children[1])
+        op = cls(children[0], children[1], use_pallas=aux[1])
         op._nnz = aux[0]
         return op

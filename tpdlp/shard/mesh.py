@@ -105,6 +105,40 @@ def padded_sizes_sparse(m: int, n: int, mesh: Mesh) -> tuple[int, int]:
     return (-(-m // L)) * L, (-(-n // L)) * L
 
 
+def padded_sizes_band(m: int, n: int, mesh: Mesh) -> tuple[int, int]:
+    """Padded sizes for the sharded band-slab layout: multiples of
+    128 * lcm(8, N) so each direction's 128-row group count divides the
+    flat device count (and the GB=8 grid grouping), and every dimension
+    is whole 128-lane blocks (scatter-free x padding)."""
+    N = mesh.shape[ROW] * mesh.shape[COL]
+    L = 128 * math.lcm(8, N)
+    return (-(-m // L)) * L, (-(-n // L)) * L
+
+
+def shard_band(op, mesh: Mesh):
+    """Place a BandOp on the mesh: slabs and window starts of K and K'
+    are 1D-partitioned along the group axis over ALL devices (flat), and
+    the Pallas kernel is swapped for the GSPMD-partitionable take+einsum
+    path (custom kernels do not auto-partition)."""
+    import dataclasses
+
+    from tpdlp.ops.band import BandOp
+
+    strip_s, _, _ = flat_shardings(mesh)
+    put = jax.device_put
+
+    def place(mat):
+        return dataclasses.replace(
+            mat,
+            slabs=put(mat.slabs, strip_s),
+            starts=put(mat.starts, strip_s),
+        )
+
+    out = BandOp(place(op.fwd), place(op.bwd), use_pallas=False)
+    out._nnz = getattr(op, "_nnz", None)
+    return out
+
+
 def shard_block_ell(op, mesh: Mesh):
     """Place a BlockEllOp on the mesh: K's and K''s tile arrays are
     1D-partitioned along the row-strip axis over ALL devices (the mesh
@@ -138,19 +172,24 @@ def shard_device_problem(pb, mesh: Mesh):
     """
     import dataclasses
 
+    from tpdlp.ops.band import BandOp
     from tpdlp.ops.blocked import BlockEllOp
     from tpdlp.ops.dense import DenseOp
 
     put = jax.device_put
-    if isinstance(pb.op, BlockEllOp):
-        # Sparse layout: flat 1D partition for the operator AND both vector
-        # spaces (see flat_shardings).
+    if isinstance(pb.op, (BlockEllOp, BandOp)):
+        # Sparse layouts: flat 1D partition for the operator AND both
+        # vector spaces (see flat_shardings).
         _, vec_s, rep_s = flat_shardings(mesh)
         yvec_s = xvec_s = vec_s
-        op_sharded = shard_block_ell(pb.op, mesh)
+        if isinstance(pb.op, BandOp):
+            op_sharded = shard_band(pb.op, mesh)
+        else:
+            op_sharded = shard_block_ell(pb.op, mesh)
     else:
         assert isinstance(pb.op, DenseOp), (
-            f"sharding covers DenseOp and BlockEllOp, got {type(pb.op)}"
+            f"sharding covers DenseOp, BlockEllOp and BandOp, "
+            f"got {type(pb.op)}"
         )
         mat_s, yvec_s, xvec_s, rep_s = problem_shardings(mesh)
         op_sharded = DenseOp(put(pb.op.mat, mat_s))

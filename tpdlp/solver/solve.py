@@ -412,10 +412,12 @@ def solve(
     The problem is zero-padded to mesh-divisible dimensions (exactness
     preserved — see tpdlp.shard.mesh.pad_problem_arrays).
 
-    `matrix_format`: "dense" | "sparse" (BCOO with materialised transpose) |
-    "band" (band-slab Pallas layout; raises when K is not band-like) |
-    "auto" (time the SpMV-pair candidates and keep the faster, the
-    reference's `sparse_vs_dense` autotune, PDLP/util.py:29-74).
+    `matrix_format`: "dense" | "sparse" (BCOO with materialised transpose;
+    block-ELL row strips under a mesh) | "band" (band-slab layout — Pallas
+    kernel single-device, flat-partitioned take+einsum under a mesh;
+    raises when K is not band-like) | "auto" (time the SpMV-pair
+    candidates and keep the faster, the reference's `sparse_vs_dense`
+    autotune, PDLP/util.py:29-74).
 
     `presolve`: "off" | "python" | "cpp" — run the PaPILO-equivalent
     reduction engine first, solve the reduced LP, and map the solution back
@@ -587,20 +589,39 @@ def solve(
         # Mesh layout choice: "dense" -> 2D block partition of the dense
         # matrix; "sparse" -> block-ELL with a flat 1D row-strip partition
         # (the path for single LPs too big to densify, SURVEY §2.3);
+        # "band" -> band slabs with the same flat partition (take+einsum
+        # path: GSPMD partitions gathers/einsums, not Pallas kernels);
         # "auto" -> dense only while the dense matrix fits the memory
-        # budget, sparse beyond it.  The band-slab layout has no sharded
-        # variant yet — refuse rather than silently densifying the exact
-        # instance class the band layout exists for.
-        if matrix_format == "band":
-            raise ValueError(
-                "matrix_format='band' is single-device only; with a mesh "
-                "use 'sparse' (block-ELL row strips) or 'auto'"
-            )
+        # budget, sparse beyond it.
+        band_mesh = matrix_format == "band"
         sparse_mesh = matrix_format == "sparse" or (
             matrix_format == "auto"
             and not dense_candidate_allowed(m, n, dtype)
         )
-        if sparse_mesh:
+        if band_mesh:
+            from tpdlp.ops.band import BandOp
+            from tpdlp.shard.mesh import padded_sizes_band, shard_band
+
+            m_pad, n_pad = padded_sizes_band(m, n, mesh)
+            coo = (
+                problem.K.tocoo()
+                if sp.issparse(problem.K)
+                else sp.coo_matrix(np.asarray(problem.K))
+            )
+            coo = sp.coo_matrix(
+                (coo.data, (coo.row, coo.col)), shape=(m_pad, n_pad)
+            )
+            op0 = BandOp.from_scipy(coo, dtype)
+            if op0 is None:
+                raise ValueError(
+                    "matrix_format='band': K is not band-like (some "
+                    "row-group's column span exceeds the window budget); "
+                    "use 'sparse' or 'auto' with this mesh"
+                )
+            op = shard_band(op0, mesh)
+            _, vec_s, _ = flat_shardings(mesh)
+            yvec_s = xvec_s = vec_s
+        elif sparse_mesh:
             m_pad, n_pad = padded_sizes_sparse(m, n, mesh)
             coo = (
                 problem.K.tocoo()
@@ -629,7 +650,7 @@ def solve(
             np.asarray(problem.l, dtype), np.asarray(problem.u, dtype),
             mask, m_pad, n_pad,
         )
-        if not sparse_mesh:
+        if not sparse_mesh and not band_mesh:
             K_p = np.zeros((m_pad, n_pad), dtype=K.dtype)
             K_p[:m, :n] = K
             op = DenseOp(jax.device_put(jnp.asarray(K_p), mat_s))
@@ -726,7 +747,10 @@ def solve(
         resumed = True
     if mesh is not None:
         pb = shard_device_problem(pb, mesh)
-        st = shard_state(st, mesh, layout="flat" if sparse_mesh else "2d")
+        st = shard_state(
+            st, mesh,
+            layout="flat" if (sparse_mesh or band_mesh) else "2d",
+        )
 
     timed_out = False
     history = [] if log_history else None
