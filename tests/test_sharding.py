@@ -219,3 +219,36 @@ def test_sharded_band_rejects_non_bandlike():
                                    density=0.05, seed=1)
     with pytest.raises(ValueError, match="band-like"):
         solve(problem, SolverConfig(), mesh=mesh, matrix_format="band")
+
+
+def test_escalation_fp64_tail_prefers_band_for_banded(monkeypatch):
+    """An over-limit fp64 tail on a BAND-LIKE instance routes through the
+    sharded band layout (fastest stream) rather than block-ELL."""
+    import importlib
+
+    from tpdlp import generate_banded_lp
+    import tpdlp.shard.mesh as mesh_mod
+
+    solve_mod = importlib.import_module("tpdlp.solver.solve")
+    problem = generate_banded_lp(n=400, m_ineq=200, m_eq=100, bandwidth=17,
+                                 seed=6)
+    # Dense 300*400=120k elems exceeds a shrunken limit; band stored
+    # (~2*8*128*512) / 8 devices fits under it.
+    monkeypatch.setattr(solve_mod, "_F64_DENSE_ELEM_LIMIT", 110_000)
+    assert problem.m * problem.n > 110_000
+
+    banded_calls = []
+    real_shard_band = mesh_mod.shard_band
+
+    def spy(op, mesh):
+        banded_calls.append(op)
+        return real_shard_band(op, mesh)
+
+    monkeypatch.setattr(mesh_mod, "shard_band", spy)
+    cfg = SolverConfig(tol=1e-8, max_kkt=200_000, scaling="ruiz")
+    r = solve_mod._solve_escalated(problem, cfg)
+    assert banded_calls, "fp64 tail did not take the band layout"
+    assert r.status == Status.SOLVED
+    oracle = solve_oracle(problem)
+    np.testing.assert_allclose(r.objective, oracle.fun, rtol=1e-6,
+                               atol=1e-6)

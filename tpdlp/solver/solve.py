@@ -343,13 +343,22 @@ def _solve_escalated(problem, cfg: SolverConfig, **kw):
         nnz = _f64_program_elems(problem, "sparse")
         if n_dev > 1 and nnz // n_dev <= _F64_DENSE_ELEM_LIMIT:
             # Route the fp64 tail through a sharded sparse solve: the
-            # block-ELL tiles are 1D-partitioned over all devices, so the
-            # per-device emulated-fp64 buffers drop to ~nnz/N — under the
-            # single-chip program limit that made the unsharded tail fault.
+            # layout arrays are 1D-partitioned over all devices, so the
+            # per-device emulated-fp64 buffers drop to ~stored/N — under
+            # the single-chip program limit that made the unsharded tail
+            # fault.  Band-like instances take the band layout (fastest
+            # stream); everything else block-ELL.
+            from tpdlp.ops.band import band_stored_elems
             from tpdlp.shard import make_solver_mesh
 
+            band_elems = band_stored_elems(problem.K)
             kw2["mesh"] = make_solver_mesh()
-            kw2["matrix_format"] = "sparse"
+            kw2["matrix_format"] = (
+                "band"
+                if band_elems is not None
+                and band_elems // n_dev <= _F64_DENSE_ELEM_LIMIT
+                else "sparse"
+            )
         else:
             # Single device (or still over the limit even sharded): report
             # the uncertified-but-best-available fp32 result honestly.
