@@ -36,10 +36,13 @@ _DENSE_BYTES_BUDGET = int(
 )
 
 
+def _budget(budget=None) -> int:
+    return _DENSE_BYTES_BUDGET if budget is None else budget
+
+
 def dense_candidate_allowed(m: int, n: int, dtype, budget=None) -> bool:
     """Would a dense (m, n) matrix of `dtype` fit the autotune budget?"""
-    budget = _DENSE_BYTES_BUDGET if budget is None else budget
-    return m * n * jnp.dtype(dtype).itemsize <= budget
+    return m * n * jnp.dtype(dtype).itemsize <= _budget(budget)
 
 
 def _dense_from_coo(coo: sp.coo_matrix, dtype) -> DenseOp:
@@ -116,7 +119,7 @@ def choose_operator(K, dtype=jnp.float32, kkt_passes: int = 10,
     there and the timing costs extra compiles).  On TPU the sparse
     candidate is block-ELL (BCOO gathers are hostile there); on CPU, BCOO.
     """
-    from tpdlp.ops.blocked import BlockEllOp
+    from tpdlp.ops.blocked import BlockEllOp, ell_stored_elems
 
     if sp.issparse(K):
         coo = K.tocoo()
@@ -148,16 +151,9 @@ def choose_operator(K, dtype=jnp.float32, kkt_passes: int = 10,
         # Estimate the block-ELL stored size BEFORE building it: the host
         # build allocates the full zero-padded float64 tile arrays, which
         # for scattered sparsity can be tens of GB.
-        from tpdlp.ops.blocked import ell_stored_elems
-
         itemsize = jnp.dtype(dtype).itemsize
         stored_bytes = ell_stored_elems(coo) * itemsize
-        budget = (
-            _DENSE_BYTES_BUDGET
-            if dense_bytes_budget is None
-            else dense_bytes_budget
-        )
-        if stored_bytes > budget:
+        if stored_bytes > _budget(dense_bytes_budget):
             if not allow_dense:
                 # No dense contender either.  A band candidate that fits
                 # still wins over the compact-but-gather-bound BCOO

@@ -48,6 +48,7 @@ from tpdlp.ops.base import LinOp
 
 BR = 8  # rows per strip (fp32 sublane)
 LANES = 128
+GB = 8  # groups per grid step (keeps every block 8/128-divisible)
 
 
 def _ceil(a, b):
@@ -63,26 +64,16 @@ class _BandData:
     nnz: int
 
 
-def _build_band(K: sp.coo_matrix, group_rows: int, max_window: int,
-                dtype=None, device_build: bool = False):
-    """Layout build; None when some group's span exceeds the window budget
-    (caller falls back to ELL).
+def _band_layout(row, col, m, n, group_rows: int, max_window: int):
+    """Window layout of one direction: (ngroups, WB, starts), or None when
+    some group's column span exceeds the window budget.
 
-    `device_build=True` assembles the slabs ON DEVICE by a flat COO
-    scatter (12 bytes/nnz shipped instead of the full zero-padded slab
-    array — 3-4x less host->device traffic for real band densities, and
-    no host-side dense intermediate).
+    Window starts are 128-aligned (lane-aligned x slices keep Mosaic from
+    relayout shuffles); the group count pads to a multiple of GB so grid
+    steps process whole GB-group stripes.
     """
-    m, n = K.shape
-    rows_per_group = group_rows
-    # Grid steps process GB groups at a time: pad the group count.
-    ngroups = _ceil(_ceil(m, rows_per_group), 8) * 8
-    row = K.row.astype(np.int64)
-    col = K.col.astype(np.int64)
-    grp = row // rows_per_group
-
-    # Per-group column span, window starts 128-aligned (lane-aligned x
-    # slices keep Mosaic from relayout shuffles).
+    ngroups = _ceil(_ceil(m, group_rows), GB) * GB
+    grp = row // group_rows
     lo = np.full(ngroups, n, dtype=np.int64)
     hi = np.full(ngroups, 0, dtype=np.int64)
     np.minimum.at(lo, grp, col)
@@ -99,6 +90,28 @@ def _build_band(K: sp.coo_matrix, group_rows: int, max_window: int,
     n_pad = _ceil(n, LANES) * LANES
     WB = min(WB, n_pad)
     start = np.minimum(start, n_pad - WB)
+    return ngroups, WB, start
+
+
+def _build_band(K: sp.coo_matrix, group_rows: int, max_window: int,
+                dtype=None, device_build: bool = False):
+    """Layout build; None when some group's span exceeds the window budget
+    (caller falls back to ELL).
+
+    `device_build=True` assembles the slabs ON DEVICE by a flat COO
+    scatter (12 bytes/nnz shipped instead of the full zero-padded slab
+    array — 3-4x less host->device traffic for real band densities, and
+    no host-side dense intermediate).
+    """
+    m, n = K.shape
+    rows_per_group = group_rows
+    row = K.row.astype(np.int64)
+    col = K.col.astype(np.int64)
+    lay = _band_layout(row, col, m, n, rows_per_group, max_window)
+    if lay is None:
+        return None
+    ngroups, WB, start = lay
+    grp = row // rows_per_group
 
     if device_build:
         flat = (grp * rows_per_group + row % rows_per_group) * WB + (
@@ -122,9 +135,6 @@ def _build_band(K: sp.coo_matrix, group_rows: int, max_window: int,
     return _BandData(slabs, start.astype(np.int32), m, n, int(K.nnz))
 
 
-GB = 8  # groups per grid step (keeps every block 8/128-divisible)
-
-
 def band_stored_elems(K, group_rows=None, max_window=None):
     """Stored slab elements (fwd + bwd) of the band layout for K, WITHOUT
     building the slabs — the cheap size estimate the fp64 program-size
@@ -137,21 +147,13 @@ def band_stored_elems(K, group_rows=None, max_window=None):
         (K.row, K.col, K.shape[0], K.shape[1]),
         (K.col, K.row, K.shape[1], K.shape[0]),
     ):
-        ngroups = _ceil(_ceil(m, gr), 8) * 8
-        grp = row.astype(np.int64) // gr
-        lo = np.full(ngroups, n, dtype=np.int64)
-        hi = np.full(ngroups, 0, dtype=np.int64)
-        np.minimum.at(lo, grp, col)
-        np.maximum.at(hi, grp, col)
-        empty = lo > hi
-        lo[empty] = 0
-        hi[empty] = 0
-        span = hi - (lo // LANES) * LANES + 1
-        wb = int(span.max()) if span.size else 1
-        WB = _ceil(wb, LANES) * LANES
-        if WB > mw:
+        lay = _band_layout(
+            row.astype(np.int64), col.astype(np.int64), m, n, gr, mw
+        )
+        if lay is None:
             return None
-        total += ngroups * gr * min(WB, _ceil(n, LANES) * LANES)
+        ngroups, WB, _ = lay
+        total += ngroups * gr * WB
     return total
 
 
@@ -251,10 +253,11 @@ class _BandMat:
         )
         return y.reshape(-1)[: self.m]
 
-    def matvec(self, x, *, interpret=None):
-        if interpret is None:
-            interpret = jax.default_backend() != "tpu"
-        if interpret:
+    def matvec(self, x, *, use_pallas: bool = True):
+        """y = M x.  The Pallas kernel runs only on real TPU AND when the
+        caller allows it (sharded operators must use the partitionable
+        take+einsum path); everywhere else -> matvec_xla."""
+        if not use_pallas or jax.default_backend() != "tpu":
             return self.matvec_xla(x)
         y = _band_matvec_pallas(
             self.slabs.astype(x.dtype), self._windows(x)
@@ -332,14 +335,10 @@ class BandOp(LinOp):
         return getattr(self, "_nnz", 0) / max(1, self.fwd.slabs.size)
 
     def mv(self, x):
-        if not self.use_pallas:
-            return self.fwd.matvec_xla(x)
-        return self.fwd.matvec(x)
+        return self.fwd.matvec(x, use_pallas=self.use_pallas)
 
     def rmv(self, y):
-        if not self.use_pallas:
-            return self.bwd.matvec_xla(y)
-        return self.bwd.matvec(y)
+        return self.bwd.matvec(y, use_pallas=self.use_pallas)
 
     def mm(self, X):
         return self.fwd.matmat(X)
