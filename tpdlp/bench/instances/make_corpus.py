@@ -307,6 +307,64 @@ def flow150():
     return m
 
 
+def mcf3x60():
+    """Multicommodity flow: 3 commodities share a 24-node, ~60-arc
+    digraph under COUPLED arc capacities (sum of commodity flows per arc
+    <= cap, L rows) — the classic MCF family; per-commodity node-balance
+    equalities.  A permutation-cycle backbone per commodity with ample
+    capacity guarantees feasibility."""
+    rng = np.random.default_rng(31)
+    m = MPS("mcf3x60")
+    m.comments = [
+        "Multicommodity flow: 3 commodities, 24 nodes, ~60 arcs,",
+        "coupled arc capacities (CAP rows sum all commodities).",
+    ]
+    N, C = 24, 3
+    arcs = set()
+    backbones = []
+    for k in range(C):
+        perm = rng.permutation(N)
+        cyc = {(int(perm[i]), int(perm[(i + 1) % N])) for i in range(N)}
+        backbones.append(cyc)
+        arcs |= cyc
+    while len(arcs) < 60:
+        i, j = rng.integers(0, N, size=2)
+        if i != j:
+            arcs.add((int(i), int(j)))
+    arcs = sorted(arcs)
+    m.row("N", "TOTCOST")
+    for a, (i, j) in enumerate(arcs):
+        m.row("L", f"CAP{a + 1}")
+    for k in range(C):
+        for i in range(N):
+            m.row("E", f"BAL{k + 1}N{i + 1}")
+    b = np.zeros((C, N))
+    for k in range(C):
+        src = rng.choice(N, size=3, replace=False)
+        snk = np.array([i for i in range(N) if i not in src])[:3]
+        amt = rng.integers(5, 20, size=3).astype(float)
+        b[k, src] += amt
+        b[k, snk] -= amt
+    for a, (i, j) in enumerate(arcs):
+        for k in range(C):
+            v = f"F{k + 1}A{a + 1}"
+            m.entry(v, "TOTCOST", float(rng.integers(1, 15)))
+            m.entry(v, f"CAP{a + 1}", 1.0)
+            m.entry(v, f"BAL{k + 1}N{i + 1}", 1.0)
+            m.entry(v, f"BAL{k + 1}N{j + 1}", -1.0)
+    on_backbone = [
+        any((i, j) in backbones[k] for k in range(C)) for (i, j) in arcs
+    ]
+    for a, (i, j) in enumerate(arcs):
+        cap = 300.0 if on_backbone[a] else float(rng.integers(15, 60))
+        m.rhs.append((f"CAP{a + 1}", cap))
+    for k in range(C):
+        for i in range(N):
+            if b[k, i] != 0.0:
+                m.rhs.append((f"BAL{k + 1}N{i + 1}", float(b[k, i])))
+    return m
+
+
 def infeas01():
     """Infeasible transportation: total demand exceeds total supply."""
     m = MPS("infeas01")
@@ -349,7 +407,7 @@ def unbnd01():
     return m
 
 
-FEASIBLE = (blend04, prod06, trans48, stair20, flow150)
+FEASIBLE = (blend04, prod06, trans48, stair20, flow150, mcf3x60)
 TERMINAL = ((infeas01, 2), (unbnd01, 3))  # linprog status codes
 
 
