@@ -144,8 +144,13 @@ class SolverConfig:
     compat_scaled_norms: bool = True
 
     # Host/device chunking: number of KKT passes per device dispatch before
-    # the host checks wall-clock time and terminal status.
-    chunk_kkt_init: int = 500
+    # the host checks wall-clock time and terminal status.  A bigger first
+    # chunk costs tiny instances NOTHING (the device loop exits at a
+    # terminal status regardless of the budget) but saves status-probe
+    # round trips on medium solves: 500 -> 2000 measured +21% end-to-end
+    # on mittelmann-s over the remote tunnel (afiro unchanged).  The cost
+    # is wall-clock enforcement granularity between chunks.
+    chunk_kkt_init: int = 2000
     chunk_kkt_max: int = 8000
     #: Dispatch the next chunk before the previous chunk's status probe is
     #: fetched (exact: the loop body no-ops on terminal states).  Hides the
