@@ -35,3 +35,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)
+
+
+@pytest.fixture(autouse=True)
+def _bound_jit_cache_memory(request):
+    """Clear the jit caches after memory-heavy tests.
+
+    Each jitted config pins its compiled program plus constant buffers; a
+    combined fast+slow run accumulates hundreds of them in one process
+    and can exhaust host memory (observed as a segfault near the end of
+    `pytest -m ""`).  Clearing after slow-marked tests (the big
+    batteries) keeps the combined run bounded without slowing the
+    default fast run."""
+    yield
+    if request.node.get_closest_marker("slow"):
+        jax.clear_caches()
