@@ -171,9 +171,10 @@ def test_netlib_fetch_from_local_mirror(tmp_path):
 def test_netlib_unavailable_error_is_clear(tmp_path):
     from tpdlp.io import netlib
 
-    with pytest.raises(netlib.NetlibUnavailable, match="afiro"):
+    # sc50a is not vendored, so the offline error path still triggers.
+    with pytest.raises(netlib.NetlibUnavailable, match="sc50a"):
         netlib.fetch(
-            "afiro", cache_dir=str(tmp_path),
+            "sc50a", cache_dir=str(tmp_path),
             mirrors=[f"file://{tmp_path}/missing/{{name}}.mps"],
         )
 

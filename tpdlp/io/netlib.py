@@ -8,9 +8,12 @@ through the MPS reader, so `python -m tpdlp.io.netlib --dest DIR` followed
 by `python -m tpdlp.cli.main --instance_path DIR` reproduces the
 reference's evaluation flow on the real corpus.
 
-Zero-egress environments get a clear `NetlibUnavailable` error from
-`fetch`; the vendored realistic corpus in tpdlp/bench/instances/ plus the
-synthetic suite (tpdlp/bench/suite.py) cover testing there.
+Instances vendored inside the package (tpdlp/bench/instances/netlib/ —
+currently afiro, verified against its published optimum) are served
+without any network access.  For the rest, zero-egress environments get
+a clear `NetlibUnavailable` error from `fetch`; the vendored realistic
+corpus in tpdlp/bench/instances/ plus the synthetic suite
+(tpdlp/bench/suite.py) cover testing there.
 
 Mirrors are URL templates with `{name}` placeholders, overridable via the
 TPDLP_NETLIB_MIRRORS environment variable (comma-separated) or the
@@ -52,9 +55,15 @@ INFEASIBLE = (
     "reactor", "refinery", "vol1", "woodinfe",
 )
 
-#: Known optimal objective values from the netlib README (rounded); used
-#: as a LOOSE post-fetch sanity check (rtol ~1e-5), not as exact golden
-#: values.
+#: Published optimal objective values (netlib README convention: the raw
+#: c'x optimum without the objective-row RHS constant; see e226 note
+#: below).  Checked by `verify_objective` (used by the vendored-instance
+#: tests and the CLI netlib cross-check) at rtol 1e-5 — loose because the
+#: README values are rounded to 11 significant digits and, for fetched
+#: files, mirror copies occasionally differ in the objective constant.
+#: e226 in particular: the README lists -18.751929066 but the file carries
+#: an objective-row RHS of -7.113; solvers that add the constant report
+#: -25.864929066 — `verify_objective` accepts either convention.
 KNOWN_OBJECTIVES = {
     "afiro": -4.6475314286e2,
     "adlittle": 2.2549496316e5,
@@ -76,8 +85,53 @@ KNOWN_OBJECTIVES = {
 }
 
 
+#: Directory of instances vendored inside the package (public-domain
+#: classics small enough to ship).  `fetch` serves these without touching
+#: the network, so `load("afiro")` works in zero-egress environments.
+VENDORED_DIR = os.path.join(os.path.dirname(__file__), "..", "bench",
+                            "instances", "netlib")
+
+
+def vendored_path(name):
+    """Path of a vendored netlib instance, or None if not shipped."""
+    path = os.path.abspath(os.path.join(VENDORED_DIR, f"{name}.mps"))
+    return path if os.path.exists(path) else None
+
+
 class NetlibUnavailable(RuntimeError):
     """No mirror could be reached (offline / zero-egress environment)."""
+
+
+class ObjectiveMismatch(AssertionError):
+    """A solved netlib instance disagrees with its published optimum."""
+
+
+def known_objective(name):
+    """Published optimum for `name`, or None if not tabulated."""
+    return KNOWN_OBJECTIVES.get(name)
+
+
+def verify_objective(name, objective, rtol=1e-5, obj_offset=0.0):
+    """Check a solved objective against the published netlib optimum.
+
+    Accepts both objective-constant conventions (raw c'x and
+    c'x + obj_offset — see the e226 note on KNOWN_OBJECTIVES).  Returns
+    True when the value matches, False when `name` has no published
+    optimum, and raises ObjectiveMismatch on a real disagreement.
+    """
+    published = KNOWN_OBJECTIVES.get(name)
+    if published is None:
+        return False
+    scale = 1.0 + abs(published)
+    candidates = {objective, objective - obj_offset, objective + obj_offset}
+    best = min(abs(c - published) / scale for c in candidates)
+    if best > rtol:
+        raise ObjectiveMismatch(
+            f"{name}: solved objective {objective!r} does not match the "
+            f"published optimum {published!r} (rel err {best:.3e} > "
+            f"rtol {rtol:g})"
+        )
+    return True
 
 
 def _mirrors(mirrors=None):
@@ -101,38 +155,50 @@ def default_cache_dir() -> str:
 def fetch(name, cache_dir=None, mirrors=None, timeout=30) -> str:
     """Download (or reuse a cached copy of) one netlib instance.
 
-    Returns the path of a plain-text MPS file in the cache.  Raises
-    NetlibUnavailable when every mirror fails.
+    Vendored instances (see VENDORED_DIR) are served directly without
+    network access.  Otherwise returns the path of a plain-text MPS file
+    in the cache.  Raises NetlibUnavailable when every mirror fails.
     """
+    vendored = vendored_path(name)
+    if vendored is not None:
+        return vendored
     cache_dir = cache_dir or default_cache_dir()
     os.makedirs(cache_dir, exist_ok=True)
     dest = os.path.join(cache_dir, f"{name}.mps")
     if os.path.exists(dest) and os.path.getsize(dest) > 0:
         return dest
     errors = []
+    # Mirror file-name casing differs between hosts (Data-Netlib uses
+    # upper case for some instances); try the name as given, then the
+    # other case variants.
+    variants = []
+    for cand in (name, name.lower(), name.upper()):
+        if cand not in variants:
+            variants.append(cand)
     for template in _mirrors(mirrors):
-        url = template.format(name=name)
-        try:
-            with urllib.request.urlopen(url, timeout=timeout) as resp:
-                payload = resp.read()
-        except (urllib.error.URLError, OSError, ValueError) as e:
-            errors.append(f"{url}: {e}")
-            continue
-        if payload[:2] == b"\x1f\x8b":  # gzip magic
+        for cand in variants:
+            url = template.format(name=cand)
             try:
-                payload = gzip.decompress(payload)
-            except OSError as e:
-                errors.append(f"{url}: bad gzip ({e})")
+                with urllib.request.urlopen(url, timeout=timeout) as resp:
+                    payload = resp.read()
+            except (urllib.error.URLError, OSError, ValueError) as e:
+                errors.append(f"{url}: {e}")
                 continue
-        text = payload.decode("utf-8", errors="replace")
-        if "ROWS" not in text.upper():
-            errors.append(f"{url}: payload does not look like MPS")
-            continue
-        tmp = dest + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(text)
-        os.replace(tmp, dest)
-        return dest
+            if payload[:2] == b"\x1f\x8b":  # gzip magic
+                try:
+                    payload = gzip.decompress(payload)
+                except OSError as e:
+                    errors.append(f"{url}: bad gzip ({e})")
+                    continue
+            text = payload.decode("utf-8", errors="replace")
+            if "ROWS" not in text.upper():
+                errors.append(f"{url}: payload does not look like MPS")
+                continue
+            tmp = dest + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(text)
+            os.replace(tmp, dest)
+            return dest
     raise NetlibUnavailable(
         f"could not fetch netlib instance {name!r} from any mirror "
         f"(offline environment?). Tried:\n  " + "\n  ".join(errors)
@@ -140,13 +206,19 @@ def fetch(name, cache_dir=None, mirrors=None, timeout=30) -> str:
 
 
 def load(name, cache_dir=None, mirrors=None, timeout=30):
-    """Fetch (cached) and parse one instance into an LPProblem."""
+    """Fetch (vendored/cached/network) and parse one instance.
+
+    The returned LPProblem carries `known_objective` (the published
+    optimum, or None) so callers can cross-check solves with
+    `verify_objective`.
+    """
     from tpdlp.io.mps import read_mps
 
     path = fetch(name, cache_dir=cache_dir, mirrors=mirrors,
                  timeout=timeout)
     p = read_mps(path)
     p.name = name
+    p.known_objective = known_objective(name)
     return p
 
 
