@@ -12,7 +12,8 @@ def solve_oracle(problem):
 
     Standard form:  min c'x  s.t.  G x >= h  ->  -G x <= -h;  A x = b.
     Returns the scipy result object (res.status: 0 optimal, 2 infeasible,
-    3 unbounded).
+    3 unbounded).  res.fun includes the problem's obj_offset (the MPS
+    objective-row constant), matching SolveResult.objective's convention.
     """
     K = problem.K
     if not sp.issparse(K):
@@ -26,7 +27,7 @@ def solve_oracle(problem):
         (None if np.isneginf(lo) else lo, None if np.isposinf(up) else up)
         for lo, up in bounds
     ]
-    return linprog(
+    res = linprog(
         problem.c,
         A_ub=-G if G.shape[0] else None,
         b_ub=-h if G.shape[0] else None,
@@ -35,6 +36,10 @@ def solve_oracle(problem):
         bounds=bounds,
         method="highs",
     )
+    offset = getattr(problem, "obj_offset", 0.0)
+    if res.status == 0 and offset:
+        res.fun = res.fun + offset
+    return res
 
 
 def dual_violation(problem, x, y):

@@ -55,7 +55,7 @@ def test_cli_sweep_reference_flags(mps_folder, tmp_path):
     # Reference CSV schema, solved instances, failed-load row preserved.
     assert set(rows["inst0.mps"].keys()) == {
         "File", "Objective", "Iterations (k)", "Restarts (n)",
-        "KKT Passes (j)", "Time (s)", "Status",
+        "KKT Passes (j)", "Time (s)", "Status", "Sense",
     }
     assert rows["inst0.mps"]["Status"] == "Solved"
     assert rows["inst1.mps"]["Status"] == "Solved"

@@ -151,6 +151,7 @@ def test_objsense_max(tmp_path):
     )
     p = read_mps(f)
     np.testing.assert_allclose(p.c, [-2.0])
+    assert p.objsense == "MAX"
 
 
 @pytest.mark.parametrize("seed", [0, 1])

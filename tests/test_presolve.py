@@ -75,8 +75,10 @@ def test_duplicate_rows_merged():
     assert r.status == Status.RUNNING
     assert r.rows_removed >= 1
     o_full = solve_oracle(p)
+    # solve_oracle includes the reduced problem's obj_offset (accumulated
+    # presolve-fixed contributions), so the two agree directly.
     o_red = solve_oracle(r.problem)
-    assert o_full.fun == pytest.approx(o_red.fun + r.data.obj_offset)
+    assert o_full.fun == pytest.approx(o_red.fun)
 
 
 def test_contradictory_duplicate_equalities():
@@ -111,9 +113,8 @@ def test_presolve_solve_postsolve_roundtrip(seed):
     assert res.status == Status.SOLVED
     x = postsolve(res.x, r.data)
     assert x.shape == (p.n,)
-    np.testing.assert_allclose(
-        res.objective + r.data.obj_offset, o.fun, rtol=1e-3, atol=1e-3
-    )
+    # res.objective already includes the reduced problem's obj_offset.
+    np.testing.assert_allclose(res.objective, o.fun, rtol=1e-3, atol=1e-3)
     # Postsolved point is feasible for the original problem.
     Kx = p.K @ x
     assert np.all(Kx[: p.m_ineq] >= p.q[: p.m_ineq] - 1e-4)

@@ -82,6 +82,50 @@ def test_objective_constant_parsed():
     assert p.obj_offset == pytest.approx(850.0)
 
 
+def test_objective_constant_reported_absolutely():
+    """SolveResult.objective must include prod06's 850 fixed cost — an
+    ABSOLUTE objective check, not oracle-relative (verdict r2 item 4)."""
+    p = read_mps(os.path.join(INSTANCES, "prod06.mps"))
+    r = solve(
+        p,
+        SolverConfig(tol=1e-7, max_kkt=200_000, scaling="ruiz",
+                     abs_gap_termination=True),
+    )
+    assert r.status == Status.SOLVED
+    raw_cx = float(np.dot(p.c, r.x))
+    assert r.objective == pytest.approx(raw_cx + 850.0)
+    assert r.obj_offset == pytest.approx(850.0)
+    # Through presolve too (the offset must survive the round trip).
+    rp = solve(
+        p,
+        SolverConfig(tol=1e-7, max_kkt=200_000, scaling="ruiz",
+                     abs_gap_termination=True),
+        presolve="cpp",
+    )
+    assert rp.objective == pytest.approx(r.objective, rel=1e-5)
+
+
+def test_objsense_max_reported_in_original_sense(tmp_path):
+    # A MAX input is negated into min form internally; the CSV/reporting
+    # surface must give the user back the maximized value.
+    f = tmp_path / "mx.mps"
+    f.write_text(
+        "NAME MX\nOBJSENSE\n MAX\nROWS\n N OBJ\n L R1\n"
+        "COLUMNS\n X OBJ 2.0 R1 1.0\nRHS\n RHS R1 3.0\n"
+        " RHS OBJ -5.0\nENDATA\n"
+    )
+    p = read_mps(f)
+    assert p.objsense == "MAX"
+    r = solve(p, SolverConfig(tol=1e-7, max_kkt=20_000))
+    assert r.status == Status.SOLVED
+    # max 2x + 5 s.t. x <= 3, x >= 0  ->  x = 3, objective 11.
+    assert r.objective_original_sense == pytest.approx(11.0, abs=1e-4)
+    assert r.csv_row("mx.mps")["Sense"] == "MAX"
+    assert float(r.csv_row("mx.mps")["Objective"]) == pytest.approx(
+        11.0, abs=1e-4
+    )
+
+
 def test_infeasible_instance_detected():
     p = read_mps(os.path.join(INSTANCES, "infeas01.mps"))
     r = solve(

@@ -350,7 +350,10 @@ def solve_batch(
             SolveResult(
                 x=np.asarray(x),
                 y=np.asarray(y_row[: p.m]),
-                objective=float(np.asarray(c0_row[: p.n]) @ x),
+                objective=float(np.asarray(c0_row[: p.n]) @ x)
+                + p.obj_offset,
+                obj_offset=p.obj_offset,
+                objective_sense=p.objsense,
                 iterations=int(k_v),
                 restarts=int(n_v),
                 kkt_passes=int(j_v),

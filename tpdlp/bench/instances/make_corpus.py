@@ -426,7 +426,7 @@ def main():
         o = solve_oracle(p)
         assert o.status == 0, (m.name, o.status, o.message)
         print(f"{m.name}: m={p.m} (ineq {p.m_ineq}) n={p.n} "
-              f"nnz={p.K.nnz} obj={o.fun + p.obj_offset:.6f}")
+              f"nnz={p.K.nnz} obj={o.fun:.6f}")  # o.fun includes obj_offset
     for build, want in TERMINAL:
         m = build()
         path = os.path.join(HERE, f"{m.name}.mps")

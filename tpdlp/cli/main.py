@@ -165,6 +165,7 @@ def main(argv=None):
         "KKT Passes (j)": "N/A",
         "Time (s)": "N/A",
         "Status": msg if len(msg) <= 60 else msg[:57] + "...",
+        "Sense": "N/A",
     }
 
     if args.batch_solve and (args.fishnet or args.presolve != "off" or mesh):

@@ -267,7 +267,7 @@ def read_mps(path, *, compat_fr_zero: bool = False) -> LPProblem:
     name = d["name"] or str(path)
     return LPProblem(
         c=c, K=K, q=q, m_ineq=m_ineq, l=l, u=u, name=name,
-        obj_offset=obj_offset,
+        obj_offset=obj_offset, objsense=d["objsense"],
     )
 
 

@@ -1057,6 +1057,7 @@ def presolve(
         c=c, K=K, q=q, m_ineq=m_ineq, l=l, u=u,
         name=problem.name + "+presolved",
         obj_offset=problem.obj_offset + obj_offset,
+        objsense=problem.objsense,
     )
     return PresolveResult(
         reduced, data, Status.RUNNING, rows_removed, cols_removed, passes

@@ -45,8 +45,13 @@ class LPProblem:
     u: np.ndarray  # (n,)
     name: str = "lp"
     #: Constant objective offset from the MPS objective-row RHS entry
-    #: (informational; the reference discards it).
+    #: (and from presolve-fixed variables).  Included in
+    #: SolveResult.objective; the reference discards it.
     obj_offset: float = 0.0
+    #: Original objective sense of the source file ("MIN"/"MAX").  The
+    #: stored c is always minimization form (negated for MAX inputs);
+    #: this flag lets results be reported in the original sense.
+    objsense: str = "MIN"
 
     @property
     def shape(self) -> tuple[int, int]:

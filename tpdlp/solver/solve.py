@@ -39,7 +39,10 @@ class SolveResult:
 
     x: np.ndarray  # primal solution in the original (unscaled) space
     y: np.ndarray  # dual solution in the original space
-    objective: float  # c'x on the original problem
+    #: c'x + obj_offset on the original problem, in MINIMIZATION form
+    #: (the internal standard form; MAX inputs were negated at parse).
+    #: Use `objective_original_sense` for the source file's convention.
+    objective: float
     iterations: int  # k
     restarts: int  # n
     kkt_passes: int  # j
@@ -51,20 +54,34 @@ class SolveResult:
     #: Optional per-chunk progress records (when solve(log_history=True)):
     #: dicts of k/j/n/restart counters, residuals, gap, eta, omega, time.
     history: Optional[list] = None
+    #: Constant already included in `objective` (MPS objective-row RHS +
+    #: presolve-fixed contributions), kept so the raw c'x is recoverable.
+    obj_offset: float = 0.0
+    #: Source file's objective sense ("MIN"/"MAX").
+    objective_sense: str = "MIN"
 
     @property
     def status_string(self) -> str:
         return self.status.describe()
 
+    @property
+    def objective_original_sense(self) -> float:
+        """Objective in the source file's sense: for an OBJSENSE MAX input
+        the maximized value -c'x + obj_offset, else `objective` as is."""
+        if self.objective_sense == "MAX":
+            return -(self.objective - self.obj_offset) + self.obj_offset
+        return self.objective
+
     def csv_row(self, name: str) -> dict:
         return {
             "File": name,
-            "Objective": f"{self.objective:.6f}",
+            "Objective": f"{self.objective_original_sense:.6f}",
             "Iterations (k)": self.iterations,
             "Restarts (n)": self.restarts,
             "KKT Passes (j)": self.kkt_passes,
             "Time (s)": f"{self.solve_time:.4f}",
             "Status": self.status_string,
+            "Sense": self.objective_sense,
         }
 
 
@@ -463,11 +480,13 @@ def solve(
             else:  # infeasible/unbounded: no meaningful point
                 x_full = np.zeros(problem.n)
                 y_solved = np.zeros(problem.m)
-            obj = float(np.dot(problem.c, x_full))
+            obj = float(np.dot(problem.c, x_full)) + problem.obj_offset
             return SolveResult(
                 x=x_full,
                 y=y_solved,
                 objective=obj,
+                obj_offset=problem.obj_offset,
+                objective_sense=problem.objsense,
                 iterations=0,
                 restarts=0,
                 kkt_passes=0,
@@ -494,7 +513,10 @@ def solve(
         return SolveResult(
             x=x_full,
             y=y_full,
-            objective=float(np.dot(problem.c, x_full)),
+            objective=float(np.dot(problem.c, x_full))
+            + problem.obj_offset,
+            obj_offset=problem.obj_offset,
+            objective_sense=problem.objsense,
             iterations=inner.iterations,
             restarts=inner.restarts,
             kkt_passes=inner.kkt_passes,
@@ -867,13 +889,16 @@ def solve(
     x_out = np.asarray(x_np)[:n_orig]
     y_out = np.asarray(y_np)[: problem.m]
     # Padded entries have c0 = 0 and x = 0, so the padded dot equals the
-    # original objective exactly.
-    objective = float(obj_v)
+    # original objective exactly; the MPS objective-row constant is added
+    # on top (verdict r2 item 4: prod06's fixed cost must be reported).
+    objective = float(obj_v) + problem.obj_offset
 
     return SolveResult(
         x=x_out,
         y=y_out,
         objective=objective,
+        obj_offset=problem.obj_offset,
+        objective_sense=problem.objsense,
         iterations=int(k_v),
         restarts=int(n_v),
         kkt_passes=int(j_v),
