@@ -89,7 +89,7 @@ def test_reporting_fields_consistent():
     row = result.csv_row(problem.name)
     assert set(row) == {
         "File", "Objective", "Iterations (k)", "Restarts (n)",
-        "KKT Passes (j)", "Time (s)", "Status",
+        "KKT Passes (j)", "Time (s)", "Status", "Sense",
     }
     assert result.iterations > 0 and result.kkt_passes >= result.iterations
 

@@ -125,6 +125,41 @@ class SolverConfig:
     #: measured fastest-or-tied at tight tolerances on every benchmark
     #: instance; "inherit" keeps the configured scheme for both stages.
     escalation_scheme: str = "auto"
+    #: How the escalated stage reaches tolerances below the fp32 floor:
+    #: "refine"    — iterative refinement (solver/refine.py): fp32 device
+    #:               solves of zoomed correction LPs + an fp64 host outer
+    #:               loop.  No fp64 on the device at all, so it is immune
+    #:               to the emulated-fp64 program-size fault and runs at
+    #:               full fp32/MXU speed at any problem size.
+    #: "fp64_tail" — warm-started emulated-fp64 device tail (round-2
+    #:               behavior; subject to the element-count guard).
+    #: "auto"      — refine (measured faster and size-unlimited;
+    #:               BASELINE.md round 3).
+    escalation_mode: str = "auto"
+    #: Target residual-reduction factor per refinement round.  Each
+    #: correction solve's relative tolerance is derived from this and the
+    #: correction problem's own norms (floored at fp32's ~2e-7 reach).
+    refine_round_factor: float = 1e-3
+    refine_max_rounds: int = 10
+    #: Zoomed bounds are clipped to [-clip, +clip] in the correction LP:
+    #: bounds further than clip/alpha from the incumbent cannot bind for
+    #: an O(1) zoomed correction, and leaving them at alpha*(distance)
+    #: inflates the box scales and wrecks the fp32 inner solve's
+    #: conditioning.  Clipped-off corrections are recovered by later
+    #: rounds (the outer loop re-centers every round).
+    refine_clip: float = 100.0
+    #: Max growth of the zoom factors per round (keeps correction data
+    #: well inside fp32 range even on near-degenerate instances).
+    refine_zoom: float = 1e6
+    #: Active-set threshold for the correction solves: an inequality row
+    #: whose zoomed dual alpha_d * y^_i exceeds this is treated as active
+    #: (slack correction pinned to 0 — the row refines as a pure
+    #: equality); below it the slack stays free with objective entry
+    #: alpha_d * y^_i <= cap, keeping the fp32 correction objective
+    #: O(cap).  Misclassified rows self-correct: the row dual remains
+    #: free, so a wrongly-pinned row's dual shrinks and unpins it next
+    #: round (see solver/refine.py).
+    refine_dual_cap: float = 100.0
 
     # Initialisation (PDLP/primal_dual_hybrid_gradient.py:22-25).
     eta_safety: float = 0.9
@@ -169,6 +204,7 @@ class SolverConfig:
             "adaptive_rule": ("reference", "linesearch"),
             "scaling": ("none", "ruiz", "ruiz+pc"),
             "escalation_scheme": ("auto", "inherit"),
+            "escalation_mode": ("auto", "refine", "fp64_tail"),
         }
         for field, allowed in _check.items():
             v = getattr(self, field)

@@ -1,0 +1,530 @@
+"""Iterative refinement: 1e-8+ solves from pure-fp32 device iterations.
+
+TPU MXUs have no native fp64; the XLA-emulated path is ~50x slower per
+KKT pass and this backend faults outright on emulated-fp64 solver
+programs above a few million matrix elements (solve.py::_F64_DENSE_ELEM_
+LIMIT).  Instead of escalating the iterate dtype, this module escalates
+the *coordinate frame*: it alternates fast fp32 PDHG solves on the device
+with an fp64 outer loop on the host that measures true residuals and
+re-centers the problem around the incumbent (Gleixner, Steffy & Wolter,
+"Iterative Refinement for Linear Programming", INFORMS J. Comp. 2016,
+adapted to the PDLP standard form and a first-order inner solver).
+
+Refinement must run in the all-equality computational form
+    min c'x + 0'w   s.t.  G x - w = h,  A x = b,  l <= x <= u,  w >= 0
+because Gleixner's recovery maps row duals by SHIFT (y = y^ + e/a_d,
+valid only for free/equality duals) and bound duals by SCALE
+(z = z~/a_d, which preserves the complementarity kinks at zero).  A
+shifted recovery of a cone-constrained inequality dual would move its
+complementarity kink away from zero — that variant (tried first) refines
+the primal but leaves the dual frozen.  So inequality rows get explicit
+slack columns for the CORRECTION solves only; stage 1 still runs the
+original inequality-native form.
+
+One round, given the incumbent (x^, y^) in host fp64 and w^ =
+max(G x^ - h, 0):
+
+  c~ = a_d ([c; 0] - K_aug' y^)        (= a_d [(c - K'y^); y^_ineq])
+  q~ = a_p [h - G x^ + w^ ; b - A x^]  (all-equality rhs; O(violation))
+  d_x in [a_p(l - x^), a_p(u - x^)] ∩ [-clip, clip]
+  d_w in [-a_p w^, +inf) ∩ [-clip, clip]
+  solve  min c~'d  s.t.  K_aug d = q~  in fp32 on the device, then
+  x^ += d_x/a_p ;  y^ += e/a_d  (all rows; project y^_ineq >= 0).
+
+Corrections are O(1) by construction, so fp32's ~6e-8 relative floor
+becomes an ~6e-8/a absolute floor that shrinks every round — tolerances
+far below fp32 at fp32 speed, with no fp64 on the device at all and no
+problem-size ceiling.  K_aug never changes, so the device operator and
+compiled programs are reused across rounds (solve(op_cache=...)).  The
+inner solves run under a per-round work budget and may stop at
+KKT_LIMIT: whatever they achieved still multiplies the outer precision
+(zoom-frame residuals map back divided by a_p resp. a_p*a_d); the fp64
+outer measurement is the only judge of progress.
+
+Termination is measured on the host in fp64 against the ORIGINAL problem
+data with exactly the reference's relative criteria
+(PDLP/helpers.py:110-128); statuses and KKT accounting match the
+reference conventions (each round's host SpMV pair counts one pass).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+from tpdlp.config import SolverConfig, Status
+
+
+def _project_lambda_box(grad, neg_inf_l, pos_inf_u):
+    """Host fp64 twin of solver.helpers' dual-cone projection
+    (reference PDLP/helpers.py:3-39)."""
+    lam = np.where(neg_inf_l & pos_inf_u, 0.0, grad)
+    lam = np.where(neg_inf_l & ~pos_inf_u, np.minimum(lam, 0.0), lam)
+    lam = np.where(~neg_inf_l & pos_inf_u, np.maximum(lam, 0.0), lam)
+    return lam
+
+
+@dataclasses.dataclass
+class _HostResiduals:
+    primal_res: float
+    dual_res: float
+    gap: float
+    prim_obj: float
+    adjusted_dual: float
+    lam: np.ndarray
+    rp_vec: np.ndarray  # q - K x (raw, before inequality clamping)
+    rd_vec: np.ndarray  # (c - K'y) - lambda
+
+
+def host_residuals(K, c, q, l, u, m_ineq, x, y) -> _HostResiduals:
+    """fp64 residuals/gap of the original problem (helpers.py:53-96)."""
+    kx = K @ x
+    kty = K.T @ y
+    grad = c - kty
+    neg_inf_l = np.isneginf(l)
+    pos_inf_u = np.isposinf(u)
+    lam = _project_lambda_box(grad, neg_inf_l, pos_inf_u)
+    full_res = q - kx
+    res = np.concatenate([
+        np.maximum(full_res[:m_ineq], 0.0),  # G x >= h: only violations
+        full_res[m_ineq:],
+    ])
+    l_dual = np.where(neg_inf_l, 0.0, l)
+    u_dual = np.where(pos_inf_u, 0.0, u)
+    prim_obj = float(c @ x)
+    adjusted_dual = float(
+        q @ y + l_dual @ np.maximum(lam, 0.0) + u_dual @ np.minimum(lam, 0.0)
+    )
+    return _HostResiduals(
+        primal_res=float(np.linalg.norm(res)),
+        dual_res=float(np.linalg.norm(grad - lam)),
+        gap=adjusted_dual - prim_obj,
+        prim_obj=prim_obj,
+        adjusted_dual=adjusted_dual,
+        lam=lam,
+        rp_vec=full_res,
+        rd_vec=grad - lam,
+    )
+
+
+def _terminated(res: _HostResiduals, q_norm, c_norm, tol, abs_gap):
+    gap = abs(res.gap) if abs_gap else res.gap
+    return (
+        res.primal_res <= tol * (1.0 + q_norm)
+        and res.dual_res <= tol * (1.0 + c_norm)
+        and gap <= tol * (1.0 + abs(res.prim_obj) + abs(res.adjusted_dual))
+    )
+
+
+def _slack_form(K64, m_ineq):
+    """[G, -I; A, 0] with the input's density preserved."""
+    m, _ = K64.shape
+    if m_ineq == 0:
+        return K64
+    if sp.issparse(K64):
+        neg_i = -sp.eye(m_ineq, format="csr")
+        zero = sp.csr_matrix((m - m_ineq, m_ineq))
+        return sp.hstack(
+            [K64, sp.vstack([neg_i, zero], format="csr")], format="csr"
+        )
+    W = np.zeros((m, m_ineq))
+    W[:m_ineq, :] = -np.eye(m_ineq)
+    return np.hstack([K64, W])
+
+
+def _elastic_form(K_aug):
+    """[K_aug, +I_m, -I_m]: two-sided penalty ELASTIC columns per row.
+
+    Used on the retry path when a plain correction makes no accepted
+    progress: aggressive active-set pins plus the +-clip windows can make
+    a zoomed correction INFEASIBLE (observed on mittelmann-s: HiGHS
+    status 2), which sends the inner PDHG on an endless grind.  Elastics
+    (cost refine_dual_cap, bounds [0, clip]) absorb any such conflict —
+    a wrong pin shows up as a positive elastic instead of infeasibility —
+    and bound the correction's row duals by the elastic cost.  They also
+    slow the well-posed case down (2m extra columns, inflated ||c~||),
+    which is why the plain form is tried first."""
+    m = K_aug.shape[0]
+    if sp.issparse(K_aug):
+        eye = sp.eye(m, format="csr")
+        return sp.hstack([K_aug, eye, -eye], format="csr")
+    eye = np.eye(m)
+    return np.hstack([K_aug, eye, -eye])
+
+
+def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
+    """fp32 coarse solve + zoomed-correction refinement rounds to cfg.tol.
+
+    `solve_fn` is tpdlp.solver.solve.solve (passed in to avoid the
+    circular import); `kw` forwards seed/matrix_format/mesh/... to the
+    inner solves.  Returns a SolveResult in the original frame.
+    """
+    import jax.numpy as jnp
+
+    from tpdlp.problem import LPProblem
+    from tpdlp.solver.solve import SolveResult
+
+    start = time.perf_counter()
+    time_used = kw.pop("time_used", 0.0)
+    log_history = kw.pop("log_history", False)
+    # Checkpointing rides on the coarse stage only: correction problems
+    # change shape-compatible data every round, so a resume re-enters at
+    # the coarse stage and refinement re-runs (cheap relative to stage 1).
+    checkpoint_path = kw.pop("checkpoint_path", None)
+    resume = kw.pop("resume", False)
+
+    # Host fp64 view of the original data.
+    K = problem.K
+    K64 = (K.tocsr().astype(np.float64) if sp.issparse(K)
+           else np.asarray(K, dtype=np.float64))
+    c = np.asarray(problem.c, dtype=np.float64)
+    q = np.asarray(problem.q, dtype=np.float64)
+    l = np.asarray(problem.l, dtype=np.float64)
+    u = np.asarray(problem.u, dtype=np.float64)
+    m_ineq = problem.m_ineq
+    m, n = K64.shape
+    q_norm = float(np.linalg.norm(q))
+    c_norm = float(np.linalg.norm(c))
+
+    kw.setdefault("op_cache", {})
+
+    auto = cfg.escalation_scheme == "auto" and cfg.step_scheme == "vanilla"
+    base = cfg.replace(adaptive=True) if (auto and not cfg.adaptive) else cfg
+
+    # ---- stage 1: plain fp32 solve of the original problem ----
+    coarse_tol = max(cfg.escalation_tol, cfg.tol)
+    s1 = solve_fn(
+        problem, base.replace(tol=coarse_tol), dtype=jnp.float32,
+        time_used=time_used, log_history=log_history,
+        checkpoint_path=checkpoint_path, resume=resume, **kw,
+    )
+    if s1.status != Status.SOLVED:
+        # Certificates / budget exhaustion are terminal as-is.
+        return s1
+    xh = np.asarray(s1.x, dtype=np.float64)
+    yh = np.asarray(s1.y, dtype=np.float64)
+    k_total, n_total, j_total = s1.iterations, s1.restarts, s1.kkt_passes
+    history = list(s1.history) if s1.history is not None else None
+
+    # Corrections run in the all-equality slack form (module docstring).
+    K_aug = _slack_form(K64, m_ineq)
+    K_elastic = None  # built lazily on the first stuck round
+    corr_format = kw.pop("matrix_format", "dense")
+    if corr_format == "band":
+        # The -I slack block breaks the band window structure.
+        corr_format = "sparse"
+
+    def _result(res, status):
+        return SolveResult(
+            x=xh,
+            y=yh,
+            objective=res.prim_obj + problem.obj_offset,
+            obj_offset=problem.obj_offset,
+            objective_sense=problem.objsense,
+            iterations=k_total,
+            restarts=n_total,
+            kkt_passes=j_total,
+            status=status,
+            solve_time=time.perf_counter() - start + time_used,
+            primal_res=res.primal_res,
+            dual_res=res.dual_res,
+            gap=res.gap,
+            history=history,
+        )
+
+    alpha_p = 1.0
+    alpha_d = 1.0
+    # Trust regions on the zooms: shrink when a fold is rejected or
+    # unproductive (the zoom outran the incumbent's actual accuracy —
+    # e.g. a pin threshold cap/alpha_d below the true reduced-cost noise
+    # mispins the active set and the correction goes infeasible), relax
+    # again on success.  Note a SOLVED correction delivers the full dual
+    # step regardless of alpha_d (e*/alpha_d = Delta-y exactly); alpha_d
+    # only sets the attainable precision and the pin threshold, so
+    # growing it on measured success loses nothing.
+    ap_limit = 1e28
+    ad_limit = 1e28
+    best = None  # (score, xh, yh, res)
+    stall = 0
+    res = None
+    for rnd in range(cfg.refine_max_rounds):
+        np.clip(xh, l, u, out=xh)  # PDHG keeps iterates in the box; keep
+        yh[:m_ineq] = np.maximum(yh[:m_ineq], 0.0)  # the fp64 sum there too
+        res = host_residuals(K64, c, q, l, u, m_ineq, xh, yh)
+        j_total += 1  # the host SpMV pair above is one KKT pass of work
+        score = (
+            res.primal_res / (1 + q_norm)
+            + res.dual_res / (1 + c_norm)
+            + abs(res.gap)
+            / (1 + abs(res.prim_obj) + abs(res.adjusted_dual))
+        )
+        if history is not None:
+            history.append({
+                "refine_round": rnd, "j": j_total,
+                "primal_res": res.primal_res, "dual_res": res.dual_res,
+                "gap": res.gap, "alpha_p": alpha_p, "alpha_d": alpha_d,
+            })
+        if best is None or score < 0.6 * best[0]:
+            stall = 0
+        else:
+            stall += 1
+        if best is None or score < best[0]:
+            best = (score, xh.copy(), yh.copy(), res)
+        elif score > 4.0 * best[0]:
+            # The last fold regressed; re-center the next round on the
+            # best incumbent instead of compounding the damage.
+            _, xh, yh, res = best
+            xh, yh = xh.copy(), yh.copy()
+        if _terminated(res, q_norm, c_norm, cfg.tol,
+                       cfg.abs_gap_termination):
+            return _result(res, Status.SOLVED)
+        if stall >= 3:
+            break  # three rounds without even a 1.7x combined-score
+            # improvement: the fp32 inner solver has hit its floor on
+            # this instance; stop burning budget and report the best
+            # incumbent below.
+        if time.perf_counter() - start + time_used >= cfg.time_limit:
+            _, xh, yh, res = best
+            return _result(res, Status.TIME_LIMIT)
+        kkt_left = cfg.max_kkt - j_total
+        if kkt_left <= 0:
+            _, xh, yh, res = best
+            return _result(res, Status.KKT_LIMIT)
+
+        # ---- zoom factors (Gleixner's incremental scales).  The dual
+        # zoom tracks BOTH the stationarity violation and the relative
+        # gap: for all-finite-box problems the dual residual is
+        # identically 0 (lambda == reduced cost), so gap/complementarity
+        # is the only dual error signal. ----
+        wh = np.maximum(K64[:m_ineq] @ xh - q[:m_ineq], 0.0) \
+            if m_ineq else np.zeros(0)
+        viol_p = max(
+            float(np.max(np.maximum(res.rp_vec[:m_ineq], 0.0), initial=0.0)),
+            float(np.max(np.abs(res.rp_vec[m_ineq:]), initial=0.0)),
+        )
+        # Gap converted to reduced-cost units (divide by the iterate
+        # scale, NOT the objective): the pin threshold cap/alpha_d must
+        # stay above the per-component dual noise, or the active-set
+        # snaps mispin en masse and the correction LP becomes
+        # near-infeasible (observed on mittelmann-s, where the objective
+        # ~9e3 made the relative gap look 6 orders smaller than the
+        # actual reduced-cost error).
+        gap_rc = abs(res.gap) / (1.0 + float(np.linalg.norm(xh)))
+        viol_d = max(float(np.max(np.abs(res.rd_vec), initial=0.0)), gap_rc)
+        alpha_p = min(
+            max(1.0 / max(viol_p, 1e-300), 1.0), alpha_p * cfg.refine_zoom,
+            ap_limit,
+        )
+        alpha_d = min(
+            max(1.0 / max(viol_d, 1e-300), 1.0), alpha_d * cfg.refine_zoom,
+            ad_limit,
+        )
+
+        # ---- correction problem in slack form (host fp64; the inner
+        # solve casts to fp32).  Bounds beyond +-clip cannot bind for an
+        # O(1) zoomed correction; clipping keeps every scale O(clip),
+        # which is what conditions the fp32 inner solve. ----
+        zc = cfg.refine_clip
+        kty = K64.T @ yh
+        # Gleixner's correction objective is the FULL zoomed reduced-cost
+        # vector (x-columns: c - K'y^; slack columns: y^_ineq) — bound
+        # duals then recover by pure scaling, which preserves their
+        # complementarity kinks at zero.  (Subtracting the projected
+        # lambda^ here would zero the objective for all-finite-box
+        # problems and delete the dual signal entirely.)
+        c_full = np.concatenate([alpha_d * (c - kty),
+                                 alpha_d * yh[:m_ineq]])
+        # Active-set pinning: |zoomed reduced cost| > cap marks the
+        # column confidently nonbasic — SNAP its correction to the zoomed
+        # bound the reduced cost points at (crossover-style: the pinned
+        # coordinate moves x_j exactly onto l_j/u_j, closing its
+        # complementarity-gap contribution; for a slack column the row
+        # becomes exactly active with exact shift-recovery of its dual).
+        # Pinning to 0 instead would FREEZE each pinned coordinate's
+        # remaining distance to its bound, stalling the gap.  This bounds
+        # the fp32 correction objective by O(cap) WITHOUT capping
+        # alpha_d, which would freeze dual refinement.  A wrong pin only
+        # lasts one round: the row/bound dual stays free, so the
+        # recomputed reduced cost unpins it next round.
+        q_t = alpha_p * res.rp_vec
+        if m_ineq:
+            q_t[:m_ineq] = alpha_p * (q[:m_ineq] - K64[:m_ineq] @ xh + wh)
+        with np.errstate(invalid="ignore"):
+            l_t = np.where(np.isneginf(l), -np.inf, alpha_p * (l - xh))
+            u_t = np.where(np.isposinf(u), np.inf, alpha_p * (u - xh))
+        l_t = np.concatenate([
+            np.maximum(l_t, -zc), np.maximum(-alpha_p * wh, -zc),
+        ])
+        u_t = np.concatenate([
+            np.minimum(u_t, zc), np.full(m_ineq, zc),
+        ])
+        # Pin only when the bound is REACHABLE within the clip window —
+        # snapping a distant coordinate a full clip-length on a
+        # misclassified sign is a large wrong move.  Unreachable large
+        # entries stay free with the objective clamped to +-cap (a
+        # bounded distortion that self-corrects as the incumbent nears
+        # its bounds).
+        reach_lo = l_t > -zc + 1e-12  # strictly inside => bound in reach
+        reach_hi = u_t < zc - 1e-12
+        pin_lo = (c_full > cfg.refine_dual_cap) & reach_lo
+        pin_hi = (c_full < -cfg.refine_dual_cap) & reach_hi
+        c_t = np.clip(np.where(pin_lo | pin_hi, 0.0, c_full),
+                      -cfg.refine_dual_cap, cfg.refine_dual_cap)
+        u_t = np.where(pin_lo, l_t, u_t)  # snap: fix d_j = l~_j
+        l_t = np.where(pin_hi, u_t, l_t)  # snap: fix d_j = u~_j
+        # Inner tolerance: aim for an ABSOLUTE zoomed residual of
+        # refine_round_factor (current violation == 1 in zoom units), as
+        # a relative tol against the correction problem's own norms,
+        # floored at what fp32 iterates can certify.
+        inner_tol = min(
+            max(
+                cfg.refine_round_factor
+                / (1.0 + float(np.linalg.norm(q_t))),
+                2e-7,
+            ),
+            1e-4,
+        )
+        # Per-round work budget: the zoom-frame GAP has its own fp32
+        # floor (~clip * eps * ||c~||), so a correction solve may
+        # legitimately end at KKT_LIMIT — whatever it achieved still
+        # multiplies the outer precision.  Fold and continue; the fp64
+        # outer measurement is the only judge of progress.
+        round_kkt = min(kkt_left, max(4000, 3 * s1.kkt_passes))
+        inner_cfg = base.replace(
+            tol=inner_tol,
+            max_kkt=round_kkt,
+            # Tight-tolerance solves are where the Halpern-anchored
+            # scheme wins (the same policy the fp64 tail uses — see
+            # _solve_escalated); apply it to the correction solves when
+            # the user left the scheme at vanilla.
+            **(
+                {"step_scheme": "halpern", "adaptive": False}
+                if auto
+                else {}
+            ),
+            time_limit=cfg.time_limit - (
+                time.perf_counter() - start + time_used
+            ),
+            # The correction LP is an artificial re-centering: its duality
+            # gap can be transiently one-sided, so use |gap| termination.
+            abs_gap_termination=True,
+            # Corrections of a feasible/bounded problem are feasible and
+            # bounded; ray "certificates" here would only reflect the
+            # zoomed frame, so keep the detector off.
+            infeasibility_detect=False,
+        )
+        def _attempt(K_mat, c2, l2, u2):
+            """One correction solve + guarded fold.  Returns
+            (accepted_primal, accepted_dual, inner_status)."""
+            nonlocal xh, yh, k_total, n_total, j_total, ap_limit, \
+                ad_limit, history
+            corr = LPProblem(
+                c=c2, K=K_mat, q=q_t, m_ineq=0, l=l2, u=u2,
+                name=f"{problem.name}+refine{rnd}",
+            )
+            r = solve_fn(corr, inner_cfg, dtype=jnp.float32,
+                         matrix_format=corr_format, **kw)
+            k_total += r.iterations
+            n_total += r.restarts
+            j_total += r.kkt_passes
+            if r.history is not None and history is not None:
+                history.extend(r.history)
+            if r.status not in (Status.SOLVED, Status.KKT_LIMIT,
+                                Status.TIME_LIMIT):
+                return False, False, r.status
+            # Fold with per-side fp64 guards: a budget-stopped inner
+            # solve can return a transient (PDHG is non-monotone), and
+            # folding a junk dual at 1/alpha_d scale regresses the gap.
+            # Cost: one host SpMV pair (counted as a KKT pass).
+            x_cand = np.clip(
+                xh + np.asarray(r.x, dtype=np.float64)[:n] / alpha_p, l, u
+            )
+            y_cand = yh + np.asarray(r.y, dtype=np.float64) / alpha_d
+            y_cand[:m_ineq] = np.maximum(y_cand[:m_ineq], 0.0)
+            j_total += 1
+            rp_new = q - K64 @ x_cand
+            rp_new = np.concatenate([np.maximum(rp_new[:m_ineq], 0.0),
+                                     rp_new[m_ineq:]])
+            ok_p = float(np.linalg.norm(rp_new)) <= res.primal_res
+            if ok_p:
+                xh = x_cand
+                ap_limit = min(ap_limit * 4.0, 1e28)
+            else:
+                # The zoomed window cut off the true correction; widen it
+                # (in absolute terms) by zooming less next round.
+                ap_limit = max(alpha_p / 8.0, 1.0)
+            grad_new = c - K64.T @ y_cand
+            lam_new = _project_lambda_box(
+                grad_new, np.isneginf(l), np.isposinf(u)
+            )
+            l_dual = np.where(np.isneginf(l), 0.0, l)
+            u_dual = np.where(np.isposinf(u), 0.0, u)
+            d_new = float(
+                q @ y_cand + l_dual @ np.maximum(lam_new, 0.0)
+                + u_dual @ np.minimum(lam_new, 0.0)
+            )
+            rd_new = float(np.linalg.norm(grad_new - lam_new))
+            # Accept the dual if it tightens |gap| against the (possibly
+            # just updated) primal point without materially worsening
+            # stationarity.
+            prim_new = float(c @ xh)
+            gap_old = abs(res.adjusted_dual - prim_new)
+            gap_new = abs(d_new - prim_new)
+            ok_d = (
+                gap_new <= gap_old
+                and rd_new <= max(res.dual_res, cfg.tol * (1 + c_norm))
+            )
+            if ok_d:
+                yh = y_cand
+            if ok_d and gap_new <= 0.5 * gap_old:
+                ad_limit = min(ad_limit * 8.0, 1e28)
+            else:
+                # The dual made no real progress: the pin threshold
+                # cap/alpha_d undercut the true reduced-cost noise and
+                # the pinned correction could not see (or reach) the
+                # dual optimum.  Zoom out and re-identify.
+                ad_limit = max(alpha_d / 64.0, 1.0)
+            return ok_p, ok_d, r.status
+
+        ok_p, ok_d, st = _attempt(K_aug, c_t, l_t, u_t)
+        if not ok_p and not ok_d and st != Status.TIME_LIMIT \
+                and cfg.max_kkt - j_total > 0:
+            # No accepted progress: the pinned/clipped correction may be
+            # infeasible.  Retry the round with penalty elastics (see
+            # _elastic_form), which absorb any pin/clip conflict.
+            if K_elastic is None:
+                K_elastic = _elastic_form(K_aug)
+            two_m = np.full(2 * m, cfg.refine_dual_cap)
+            ok_p, ok_d, st = _attempt(
+                K_elastic,
+                np.concatenate([c_t, two_m]),
+                np.concatenate([l_t, np.zeros(2 * m)]),
+                np.concatenate([u_t, np.full(2 * m, zc)]),
+            )
+        if st not in (Status.SOLVED, Status.KKT_LIMIT, Status.TIME_LIMIT):
+            # Certificates/numerical failures on a zoomed re-centering do
+            # not describe the original problem; stop refining and report
+            # the best incumbent honestly.
+            _, xh, yh, res = best
+            return _result(res, Status.NUMERICAL_ERROR)
+        if st == Status.TIME_LIMIT:
+            break  # global wall clock is spent; the tail below reports
+            # TIME_LIMIT with the best incumbent.
+
+    # Rounds exhausted (or stalled) without certifying cfg.tol.
+    np.clip(xh, l, u, out=xh)
+    yh[:m_ineq] = np.maximum(yh[:m_ineq], 0.0)
+    res = host_residuals(K64, c, q, l, u, m_ineq, xh, yh)
+    j_total += 1
+    if _terminated(res, q_norm, c_norm, cfg.tol, cfg.abs_gap_termination):
+        return _result(res, Status.SOLVED)
+    if best is not None and best[0] < (
+        res.primal_res / (1 + q_norm) + res.dual_res / (1 + c_norm)
+        + abs(res.gap) / (1 + abs(res.prim_obj) + abs(res.adjusted_dual))
+    ):
+        _, xh, yh, res = best
+    timed_out = time.perf_counter() - start + time_used >= cfg.time_limit
+    return _result(res, Status.TIME_LIMIT if timed_out else Status.KKT_LIMIT)

@@ -420,8 +420,16 @@ def solve(
     checkpoint_path=None,
     resume: bool = False,
     log_history: bool = False,
+    op_cache: Optional[dict] = None,
 ) -> SolveResult:
     """Solve a standard-form LP with restarted PDHG.
+
+    `op_cache` (advanced): a dict reused across solves whose problems
+    share the SAME constraint matrix K (e.g. iterative-refinement
+    correction LPs, perturbed-rhs families).  The built device operator is
+    stored under (matrix_format, dtype) and reused, skipping the
+    host->device matrix transfer — the dominant per-solve cost on
+    remote-tunnel backends.  The caller guarantees K is unchanged.
 
     `x0`/`y0` are warm-start points in the ORIGINAL (unscaled) coordinate
     frame — the same frame `SolveResult.x/.y` are reported in, so a solve
@@ -536,13 +544,25 @@ def solve(
             and cfg.tol < cfg.escalation_tol
             and x0 is None
             and y0 is None
-            and not resume
         ):
-            return _solve_escalated(
-                problem, cfg, seed=seed, time_used=time_used, mesh=mesh,
-                matrix_format=matrix_format, checkpoint_path=checkpoint_path,
-                log_history=log_history,
-            )
+            if cfg.escalation_mode == "fp64_tail":
+                if not resume:
+                    return _solve_escalated(
+                        problem, cfg, seed=seed, time_used=time_used,
+                        mesh=mesh, matrix_format=matrix_format,
+                        checkpoint_path=checkpoint_path,
+                        log_history=log_history,
+                    )
+            else:  # "refine" and "auto": fp32-only device programs
+                from tpdlp.solver.refine import solve_refined
+
+                return solve_refined(
+                    problem, cfg, solve_fn=solve, seed=seed,
+                    time_used=time_used, mesh=mesh,
+                    matrix_format=matrix_format,
+                    checkpoint_path=checkpoint_path, resume=resume,
+                    log_history=log_history,
+                )
 
     if mesh is None:
         _f64_guard(
@@ -560,8 +580,23 @@ def solve(
 
     n_orig = problem.n
     mask = np.arange(problem.m) < problem.m_ineq
+    cache_key = (
+        (matrix_format, jnp.dtype(dtype).name, mesh is None,
+         problem.K.shape)
+        if op_cache is not None
+        else None
+    )
     if mesh is None:
-        if matrix_format == "dense":
+        if cache_key is not None and cache_key in op_cache:
+            # Hand the run a device-side COPY: jitted preprocessing donates
+            # the operator buffers (HBM reuse), which would delete the
+            # cached arrays.  An on-device copy costs no host transfer.
+            op = jax.tree_util.tree_map(jnp.copy, op_cache[cache_key])
+            c = jnp.asarray(problem.c, dtype)
+            q = jnp.asarray(problem.q, dtype)
+            l = jnp.asarray(problem.l, dtype)
+            u = jnp.asarray(problem.u, dtype)
+        elif matrix_format == "dense":
             op, c, q, l, u = to_device_arrays(problem, dtype)
         else:
             # Build the operator FIRST and never materialise the dense
@@ -599,6 +634,9 @@ def solve(
             q = jnp.asarray(problem.q, dtype)
             l = jnp.asarray(problem.l, dtype)
             u = jnp.asarray(problem.u, dtype)
+        if cache_key is not None:
+            # Store a copy for the same donation reason as above.
+            op_cache[cache_key] = jax.tree_util.tree_map(jnp.copy, op)
     else:
         import scipy.sparse as sp
 
