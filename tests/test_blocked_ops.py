@@ -1,5 +1,5 @@
-"""Block-ELL operator tests: layout exactness, scaling, solver integration,
-and the Pallas kernel in interpret mode."""
+"""Block-ELL operator tests: layout exactness, scaling, solver
+integration."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -9,7 +9,6 @@ import scipy.sparse as sp
 from tpdlp import SolverConfig, Status, generate_feasible_lp, solve
 from tpdlp.ops.blocked import BlockEllOp
 from tpdlp.ops.dense import DenseOp
-from tpdlp.ops.pallas_spmv import ell_matvec_pallas
 from tests.oracles import solve_oracle
 
 
@@ -60,15 +59,6 @@ def test_blocked_scale_matches(rng):
     np.testing.assert_allclose(
         np.asarray(scaled.rmv(y)), expect.T @ np.asarray(y), rtol=1e-12
     )
-
-
-def test_pallas_kernel_interpret(rng):
-    K = sp.random(120, 260, density=0.05, random_state=rng, format="coo")
-    K.data = rng.standard_normal(K.nnz).astype(np.float32)
-    op = BlockEllOp.from_scipy(K, jnp.float32)
-    x = rng.standard_normal(260).astype(np.float32)
-    y = np.asarray(ell_matvec_pallas(op.fwd, jnp.asarray(x), interpret=True))
-    np.testing.assert_allclose(y, K @ x, rtol=1e-4, atol=1e-4)
 
 
 def test_solver_with_blocked_operator():

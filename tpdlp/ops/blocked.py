@@ -11,13 +11,16 @@ nonempty tiles, padded to the strip-wise maximum count W (ELL).  Storage:
 
 SpMV then is, per row strip i:  y[8i:8i+8] = sum_w tiles[i, w] @ x_blk[col_idx[i, w]]
 
-Two execution paths share the layout:
-- `BlockEllOp` (this module): the whole product as one XLA gather + einsum —
-  no custom kernel, fuses with the surrounding iteration, and XLA pipelines
-  the HBM streaming.
-- `tpdlp.ops.pallas_spmv`: a hand-written Pallas kernel over the same
-  arrays (scalar-prefetched indices, double-buffered DMA) for the cases
-  where explicit control wins.
+Execution is one XLA gather + einsum over the whole product — no custom
+kernel: it fuses with the surrounding iteration and XLA pipelines the HBM
+streaming.  A hand-written Pallas kernel over the same arrays
+(scalar-prefetched indices, double-buffered DMA) was benchmarked against
+this path in rounds 1-2 and lost decisively (~11% of HBM peak vs 58% —
+Mosaic cannot double-buffer the data-dependent block gathers as well as
+XLA pipelines them), so it was REMOVED; general unstructured sparsity
+uses this XLA path, and structured (banded) sparsity uses the production
+Pallas band-slab kernel in tpdlp.ops.band.  BASELINE.md records the
+measurement and the decision.
 
 Both K and K' are materialised in this layout (transposed gathers are
 hostile on TPU; the reference also precomputes its transpose,
@@ -172,17 +175,16 @@ class BlockEllOp(LinOp):
 
     fwd: _EllMat  # K
     bwd: _EllMat  # K'
-    use_pallas: bool = False
 
     @classmethod
-    def from_scipy(cls, K, dtype=jnp.float32, use_pallas: bool = False):
+    def from_scipy(cls, K, dtype=jnp.float32):
         K = K.tocoo() if sp.issparse(K) else sp.coo_matrix(K)
         f = _build_ell(K)
         b = _build_ell(K.T.tocoo())
         mk = lambda e: _EllMat(
             jnp.asarray(e.tiles, dtype), jnp.asarray(e.col_idx), e.m, e.n
         )
-        op = cls(mk(f), mk(b), use_pallas)
+        op = cls(mk(f), mk(b))
         op._nnz = f.nnz
         return op
 
@@ -199,18 +201,11 @@ class BlockEllOp(LinOp):
         stored = self.fwd.tiles.size
         return getattr(self, "_nnz", stored) / stored
 
-    def _mv_impl(self, mat: _EllMat, x):
-        if self.use_pallas:
-            from tpdlp.ops.pallas_spmv import ell_matvec_pallas
-
-            return ell_matvec_pallas(mat, x)
-        return mat.matvec(x)
-
     def mv(self, x):
-        return self._mv_impl(self.fwd, x)
+        return self.fwd.matvec(x)
 
     def rmv(self, y):
-        return self._mv_impl(self.bwd, y)
+        return self.bwd.matvec(y)
 
     def mm(self, X):
         return self.fwd.matmat(X)
@@ -261,16 +256,15 @@ class BlockEllOp(LinOp):
         out = BlockEllOp(
             self._scale_mat(self.fwd, d_row, d_col),
             self._scale_mat(self.bwd, d_col, d_row),
-            self.use_pallas,
         )
         out._nnz = getattr(self, "_nnz", None)
         return out
 
     def tree_flatten(self):
-        return (self.fwd, self.bwd), (self.use_pallas, getattr(self, "_nnz", None))
+        return (self.fwd, self.bwd), (getattr(self, "_nnz", None),)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        op = cls(children[0], children[1], aux[0])
-        op._nnz = aux[1]
+        op = cls(children[0], children[1])
+        op._nnz = aux[0]
         return op

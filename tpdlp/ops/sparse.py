@@ -10,8 +10,9 @@ the COO data — the reference needed a separate scatter-based sparse Ruiz
 (Packages/PDLP_without_presolve_infeasibility.py:52-91); here the same
 `LinOp` interface serves the dense and sparse paths.
 
-For the TPU hot loop see tpdlp.ops.pallas_spmv (block-ELL kernels); this
-BCOO operator is the portable fallback and the CPU sparse path.
+For the TPU hot loop see tpdlp.ops.blocked (XLA block-ELL) and
+tpdlp.ops.band (Pallas band slabs); this BCOO operator is the portable
+fallback and the CPU sparse path.
 """
 
 from __future__ import annotations

@@ -301,9 +301,17 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
         # is the only dual error signal. ----
         wh = np.maximum(K64[:m_ineq] @ xh - q[:m_ineq], 0.0) \
             if m_ineq else np.zeros(0)
+        # The primal zoom must track BOTH the feasibility violation and
+        # the OPTIMALITY error (gap in x-units): corrections can only
+        # move x by clip/alpha_p, and a gap of g needs x-moves of
+        # ~g/||c||.  Zooming on feasibility alone (1e-13 after a few
+        # rounds) shrinks the window to ~1e-11 and freezes the incumbent
+        # at a feasible-but-suboptimal vertex with the gap stuck.
+        gap_xu = abs(res.gap) / (1.0 + c_norm)
         viol_p = max(
             float(np.max(np.maximum(res.rp_vec[:m_ineq], 0.0), initial=0.0)),
             float(np.max(np.abs(res.rp_vec[m_ineq:]), initial=0.0)),
+            gap_xu,
         )
         # Gap converted to reduced-cost units (divide by the iterate
         # scale, NOT the objective): the pin threshold cap/alpha_d must
