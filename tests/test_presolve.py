@@ -501,3 +501,170 @@ def test_file_level_dual_postsolve(tmp_path):
     y = postsolve_dual_solution(y_red, x, str(trans))
     p2 = read_mps(str(src))
     assert dual_violation(p2, x, y) < 1e-5
+
+
+@pytest.mark.parametrize("backend", ["python", "cpp"])
+def test_aggregation_implied_free_column(backend):
+    # x0 is FREE with three nonzeros {R0 ineq, R1 ineq, R2 eq}: beyond the
+    # free-singleton (1 nnz) and doubleton (2-nnz row) passes, only the
+    # implied-free column substitution (PaPILO Substitution/aggregation)
+    # can eliminate it, pivoting on the equality row x0 + x1 + x2 = 5.
+    # The activity pass first derives IMPLIED bounds for x0; the
+    # boundsImplied flags must keep it effectively free.
+    from tests.oracles import dual_violation
+    from tpdlp.presolve import postsolve_dual
+
+    p = _lp(
+        [0.5, 1, 1, 1, 2],
+        [[1, 0, 0, 1, 0], [1, 0, 0, 0, 1], [1, 1, 1, 0, 0]],
+        [1, 2, 5],
+        2,
+        [-np.inf, 0, 0, 0, 0],
+        [np.inf, 10, 10, 10, 10],
+    )
+    o = solve_oracle(p)
+    r = presolve(p, backend=backend)
+    kinds = r.data.subst_kind
+    width = np.diff(r.data.subst_indptr)
+    # A kind-0 entry with TWO substitution columns = the aggregation
+    # (free-singleton entries have 0..many; the pivot row here has 2
+    # other columns).
+    assert np.any((kinds == 0) & (width == 2))
+    assert r.cols_removed >= 1 and r.rows_removed >= 1
+    if r.status == Status.RUNNING:
+        s = solve(r.problem, SolverConfig(tol=1e-9, abs_gap_termination=True))
+        x = postsolve(s.x, r.data)
+        y = postsolve_dual(s.y, x, r.data)
+    else:
+        assert r.status == Status.SOLVED
+        x = postsolve(np.zeros(0), r.data)
+        y = postsolve_dual(np.zeros(0), x, r.data)
+    assert float(p.c @ x) == pytest.approx(o.fun, abs=1e-6)
+    np.testing.assert_allclose(x, o.x, atol=1e-6)
+    assert dual_violation(p, x, y) < 1e-5
+
+
+@pytest.mark.parametrize("backend", ["python", "cpp"])
+def test_sparsify_subset_row_combination(backend):
+    # Equality R0 (x0+x1+x4 = 2) has support inside R1 (x0+..+x4 = 5);
+    # adding -1 * R0 to R1 cancels three entries exactly (sectional-sum
+    # structure), leaving x2 + x3 = 3.  Distinct costs block the
+    # parallel-column pass; real zero lower bounds block aggregation.
+    from tests.oracles import dual_violation
+    from tpdlp.presolve import postsolve_dual
+
+    p = _lp(
+        [1, 2, 1, 1.5, 3],
+        [[1, 1, 0, 0, 1], [1, 1, 1, 1, 1]],
+        [2, 5],
+        0,
+        [0, 0, 0, 0, 0],
+        [10, 10, 10, 10, 10],
+    )
+    o = solve_oracle(p)
+    r = presolve(p, backend=backend)
+    assert (r.data.subst_kind == 4).any()
+    if r.status == Status.RUNNING:
+        assert r.problem.K.nnz < p.K.nnz  # strictly sparser
+        s = solve(r.problem, SolverConfig(tol=1e-9, abs_gap_termination=True))
+        x = postsolve(s.x, r.data)
+        y = postsolve_dual(s.y, x, r.data)
+    else:
+        assert r.status == Status.SOLVED
+        x = postsolve(np.zeros(0), r.data)
+        y = postsolve_dual(np.zeros(0), x, r.data)
+    assert float(p.c @ x) == pytest.approx(o.fun, abs=1e-6)
+    np.testing.assert_allclose(x, o.x, atol=1e-6)
+    # The kind-4 entry must restore the absorbed multiplier: stationarity
+    # and complementarity of the ORIGINAL pair.
+    assert dual_violation(p, x, y) < 1e-5
+
+
+def test_legacy_transform_file_dual_raises(tmp_path):
+    """ADVICE r2: loading a round-1 transformation file (no m_orig/
+    row_map) must raise a descriptive error from postsolve_dual instead
+    of silently returning a length-0 dual vector."""
+    from tpdlp.presolve import postsolve_dual
+    from tpdlp.presolve.reductions import PostsolveData
+
+    p = _lp([1, 1], [[1, 1]], [2], 0, [0, 0], [5, 5])
+    r = presolve(p)
+    path = tmp_path / "legacy.npz"
+    r.data.save(path)
+    # Strip the dual-info fields to emulate the round-1 format.
+    z = dict(np.load(path))
+    for k in ("m_orig", "row_map"):
+        z.pop(k)
+    np.savez(path, **z)
+    data = PostsolveData.load(path)
+    x = postsolve(np.zeros(len(data.col_map)), data)
+    assert x.shape == (2,)  # primal postsolve still works on legacy files
+    with pytest.raises(ValueError, match="predates dual postsolve"):
+        postsolve_dual(np.zeros(1), x, data)
+
+
+def test_dual_postsolve_mismatched_reduced_dual_raises():
+    from tpdlp.presolve import postsolve_dual
+
+    p = _lp([1, 1], [[1, 1], [1, 0]], [2, 1], 0, [0, 0], [5, 5])
+    r = presolve(p)
+    with pytest.raises(ValueError, match="surviving rows"):
+        postsolve_dual(np.zeros(7), np.zeros(2), r.data)
+
+
+@pytest.mark.parametrize("backend", ["python", "cpp"])
+def test_same_column_singleton_battery_dual_exact(backend):
+    """ADVICE r2 probed a degenerate case: several dual-absorbing stack
+    entries from ONE pass batch on a SHARED column (eq + ineq singleton
+    rows, mixed scales/signs).  The reverse sweep handles it because
+    entries are processed strictly sequentially with updates visible
+    through each entry's column snapshot: the latest-pushed entry absorbs
+    the full remaining reduced cost first, and every earlier entry then
+    re-evaluates lambda_j against the updated duals.  This battery pins
+    that behavior (200-trial fuzz found zero violations)."""
+    from tests.oracles import dual_violation
+    from tpdlp.presolve import postsolve_dual
+
+    rng = np.random.default_rng(77)
+    checked = 0
+    for _ in range(60):
+        n = 4
+        rows, qs, kinds = [], [], []
+        for _ in range(2):  # dense coupling rows (keep the LP nontrivial)
+            rows.append(rng.integers(-3, 4, n).astype(float))
+            qs.append(float(rng.integers(-4, 5)))
+            kinds.append(True)
+        for _ in range(rng.integers(2, 5)):  # singletons on shared cols
+            j = int(rng.integers(0, 2))
+            a = float(rng.choice([-2.0, -1.0, 1.0, 2.0, 3.0]))
+            v = float(rng.integers(-2, 3))
+            rows.append(np.eye(n)[j] * a)
+            qs.append(a * v)
+            kinds.append(bool(rng.integers(0, 2)))
+        order = np.argsort(~np.array(kinds), kind="stable")
+        Km = np.array(rows)[order]
+        qv = np.array(qs)[order]
+        mi = int(np.array(kinds).sum())
+        c = rng.integers(-3, 4, n).astype(float)
+        p = _lp(c, Km, qv, mi, np.full(n, -3.0), np.full(n, 5.0))
+        o = solve_oracle(p)
+        if o.status != 0:
+            continue
+        r = presolve(p, backend=backend)
+        if r.status == Status.RUNNING:
+            s = solve(r.problem, SolverConfig(
+                tol=1e-9, abs_gap_termination=True, max_kkt=60_000))
+            if s.status != Status.SOLVED:
+                continue
+            x = postsolve(np.asarray(s.x), r.data)
+            y = postsolve_dual(np.asarray(s.y), x, r.data)
+        elif r.status == Status.SOLVED:
+            x = postsolve(np.zeros(0), r.data)
+            y = postsolve_dual(np.zeros(0), x, r.data)
+        else:
+            continue
+        if abs(float(p.c @ x) - o.fun) > 1e-5:
+            continue  # alternate optimum: dual check needs matching x
+        assert dual_violation(p, x, y) < 1e-5
+        checked += 1
+    assert checked >= 20  # the battery must actually exercise the path

@@ -407,7 +407,60 @@ def unbnd01():
     return m
 
 
-FEASIBLE = (blend04, prod06, trans48, stair20, flow150, mcf3x60)
+def inv18():
+    """Eighteen-period production/inventory chain with backorders
+    (free inventory variables, the classic PILOT/SC-family shape) plus
+    sectional accounting rows nested inside a horizon total.  The free
+    inventories I_t link consecutive balance equalities (column support
+    2, both equalities), so PaPILO-style implied-free aggregation can
+    telescope the chain; the horizon row's support contains each
+    sectional row's, so sparsify can cancel it down."""
+    rng = np.random.default_rng(31)
+    m = MPS("inv18")
+    m.comments = [
+        "Production/inventory LP, 18 periods, backorders allowed.",
+        "BAL rows chain free inventories; SEC rows nest inside HORIZON.",
+    ]
+    T = 18
+    dem = np.round(rng.uniform(4.0, 9.0, size=T), 1)
+    cap = np.round(dem.mean() * 1.35, 1)
+    cost = np.round(rng.uniform(2.0, 5.0, size=T), 2)
+    hold = 0.25
+    # Section quotas: 6-period production plans whose supports nest
+    # inside the horizon row's (no extra tally variables, so each SEC row
+    # is a strict support-subset of HORIZON).
+    quota = [float(np.round(dem[6 * s:6 * s + 6].sum(), 1))
+             for s in range(3)]
+    m.row("N", "COST")
+    for t in range(T):
+        m.row("E", f"BAL{t + 1}")
+    for s in range(3):
+        m.row("E", f"SEC{s + 1}")
+    m.row("E", "HORIZON")
+    for t in range(T):
+        pv = f"P{t + 1}"
+        iv = f"I{t + 1}"
+        m.entry(pv, "COST", float(cost[t]))
+        m.entry(pv, f"BAL{t + 1}", 1.0)
+        m.entry(pv, f"SEC{t // 6 + 1}", 1.0)
+        m.entry(pv, "HORIZON", 1.0)
+        # I_t: enters period t's balance (-1), feeds period t+1's (+1).
+        m.entry(iv, "COST", hold)
+        m.entry(iv, f"BAL{t + 1}", -1.0)
+        if t + 1 < T:
+            m.entry(iv, f"BAL{t + 2}", 1.0)
+    for t in range(T):
+        m.rhs.append((f"BAL{t + 1}", float(dem[t])))
+    for s in range(3):
+        m.rhs.append((f"SEC{s + 1}", quota[s]))
+    m.rhs.append(("HORIZON", float(np.round(sum(quota), 1))))
+    for t in range(T):
+        m.bounds.append(("UP", f"P{t + 1}", float(cap)))
+        m.bounds.append(("FR", f"I{t + 1}", None))  # backorders allowed
+    return m
+
+
+FEASIBLE = (blend04, prod06, trans48, stair20, flow150, mcf3x60, inv18)
 TERMINAL = ((infeas01, 2), (unbnd01, 3))  # linprog status codes
 
 

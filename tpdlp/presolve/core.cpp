@@ -65,6 +65,11 @@ struct Problem {
   std::vector<std::vector<Entry>> rows;  // sorted by col within each row
   std::vector<uint8_t> is_ineq;
   std::vector<double> c, q, l, u;
+  // Implied-bound flags (PaPILO's boundsImplied): the finite bound was
+  // DERIVED from row activities (rows stay in the problem, so the box
+  // bound can never bind strictly).  Implied-freeness checks treat such
+  // bounds as +-inf; bounds whose implying row is REMOVED are real.
+  std::vector<uint8_t> l_imp, u_imp;
   std::vector<int64_t> orig_cols;
   std::vector<int64_t> orig_rows;
 };
@@ -180,6 +185,7 @@ void drop_cols(Problem& p, const std::vector<uint8_t>& drop, Result& r) {
     row.resize(k);
   }
   std::vector<double> c2, l2, u2;
+  std::vector<uint8_t> li2, ui2;
   std::vector<int64_t> oc2;
   c2.reserve(w);
   for (size_t j = 0; j < n; ++j) {
@@ -187,11 +193,15 @@ void drop_cols(Problem& p, const std::vector<uint8_t>& drop, Result& r) {
     c2.push_back(p.c[j]);
     l2.push_back(p.l[j]);
     u2.push_back(p.u[j]);
+    li2.push_back(p.l_imp[j]);
+    ui2.push_back(p.u_imp[j]);
     oc2.push_back(p.orig_cols[j]);
   }
   p.c = std::move(c2);
   p.l = std::move(l2);
   p.u = std::move(u2);
+  p.l_imp = std::move(li2);
+  p.u_imp = std::move(ui2);
   p.orig_cols = std::move(oc2);
 }
 
@@ -247,11 +257,13 @@ bool pass_singleton_rows(Problem& p, Result& r) {
         if (v > p.l[j]) {
           push_bound(j, i, a, v, 1);
           p.l[j] = v;
+          p.l_imp[j] = 0;
         }
       } else {
         if (v < p.u[j]) {
           push_bound(j, i, a, v, -1);
           p.u[j] = v;
+          p.u_imp[j] = 0;
         }
       }
     } else {
@@ -260,6 +272,8 @@ bool pass_singleton_rows(Problem& p, Result& r) {
       push_bound(j, i, a, v, 2);
       p.l[j] = std::max(p.l[j], v);
       p.u[j] = std::min(p.u[j], v);
+      p.l_imp[j] = 0;
+      p.u_imp[j] = 0;
     }
     drop[i] = 1;
     any = true;
@@ -283,7 +297,7 @@ bool pass_singleton_rows(Problem& p, Result& r) {
 // (PaPILO's ConstraintPropagation / redundant-row family).  +-inf bound
 // contributions are counted, not summed, so "activity minus one variable"
 // stays exact.  Mirrors the vectorized numpy pass entry-for-entry.
-bool pass_row_activity(Problem& p, Result& r) {
+bool pass_row_activity(Problem& p, Result& r, bool* tightened) {
   const size_t m = p.rows.size();
   const size_t n = p.c.size();
   const double tol = feas_tol(p.q);
@@ -415,12 +429,14 @@ bool pass_row_activity(Problem& p, Result& r) {
     push_tighten(j, h, best_l[j],
                  p.is_ineq[h.row] ? int8_t{1} : int8_t{2});
     p.l[j] = best_l[j];
+    p.l_imp[j] = 1;
   }
   for (int64_t j : imp_u) {
     const Hit& h = hit_u[j];
     push_tighten(j, h, best_u[j],
                  p.is_ineq[h.row] ? int8_t{-1} : int8_t{-2});
     p.u[j] = best_u[j];
+    p.u_imp[j] = 1;
   }
   for (size_t j = 0; j < n; ++j) {
     const double u_fin = std::isfinite(p.u[j]) ? std::fabs(p.u[j]) : 0.0;
@@ -429,7 +445,13 @@ bool pass_row_activity(Problem& p, Result& r) {
       return false;
     }
   }
-  return true;
+  // Tightening leaves the matrix shape untouched, so the caller FALLS
+  // THROUGH to the later families within the same pass (mirroring the
+  // numpy pass): propagation alone can keep improving bounds by
+  // >threshold amounts for many rounds on staircase models, and a
+  // restart here would starve everything after it within the pass budget.
+  *tightened = true;
+  return false;
 }
 
 bool pass_columns(Problem& p, Result& r) {
@@ -466,6 +488,7 @@ bool pass_columns(Problem& p, Result& r) {
                                 : (std::isfinite(p.u[j]) ? p.u[j] : 0.0);
     }
     p.l[j] = p.u[j] = v;
+    p.l_imp[j] = p.u_imp[j] = 0;
     fixed[j] = 1;
   }
 
@@ -552,6 +575,7 @@ bool pass_dominated_cols(Problem& p, Result& r) {
     if (lo) {
       if (std::isfinite(p.l[j])) {
         p.u[j] = p.l[j];
+        p.l_imp[j] = p.u_imp[j] = 0;
         any = true;
       } else if (p.c[j] > 0) {
         r.status = kDualInfeasible;
@@ -560,6 +584,7 @@ bool pass_dominated_cols(Problem& p, Result& r) {
     } else if (hi) {
       if (std::isfinite(p.u[j])) {
         p.l[j] = p.u[j];
+        p.l_imp[j] = p.u_imp[j] = 0;
         any = true;
       } else if (p.c[j] < 0) {
         r.status = kDualInfeasible;
@@ -594,8 +619,10 @@ bool pass_free_singleton_cols(Problem& p, Result& r) {
   bool any = false;
   for (size_t j = 0; j < n; ++j) {
     if (col_nnz[j] != 1) continue;
-    if (!(std::isinf(p.l[j]) && p.l[j] < 0)) continue;
-    if (!(std::isinf(p.u[j]) && p.u[j] > 0)) continue;
+    // Effectively free: -inf/+inf OR derived purely from row activities
+    // (implied - can never bind strictly, so lambda_j = 0 stays exact).
+    if (!((std::isinf(p.l[j]) && p.l[j] < 0) || p.l_imp[j])) continue;
+    if (!((std::isinf(p.u[j]) && p.u[j] > 0) || p.u_imp[j])) continue;
     const int64_t i = col_row[j];
     if (p.is_ineq[i] || row_used[i]) continue;
     const double a_jj = col_val[j];
@@ -667,7 +694,9 @@ bool pass_doubleton_eq(Problem& p, Result& r) {
       const double hi_j = std::max(e1, e2);
       const double bt = 1e-9 * (1.0 + std::fabs(qi));
       if (std::isnan(lo_j) || std::isnan(hi_j)) continue;
-      if (lo_j >= p.l[jj] - bt && hi_j <= p.u[jj] + bt) {
+      const double lj_eff = p.l_imp[jj] ? -kInf : p.l[jj];
+      const double uj_eff = p.u_imp[jj] ? kInf : p.u[jj];
+      if (lo_j >= lj_eff - bt && hi_j <= uj_eff + bt) {
         j = jj;
         k = kk;
         a = aa;
@@ -886,6 +915,202 @@ bool pass_duplicate_rows(Problem& p, Result& r) {
   return any;
 }
 
+// Implied-free column substitution (PaPILO Substitution/aggregation).
+// A column j with 2..4 nonzeros, pivoting on an equality row i whose
+// interval-implied range for x_j (over the OTHER variables' boxes) lies
+// inside [l_j, u_j], substitutes x_j = (q_i - sum_{k!=j} a_ik x_k)/a_ij
+// into every other row containing x_j.  Mirrors the numpy pass: the
+// pivot is the first eligible row in ascending order within the column;
+// batch exclusion marks every row of column j and every column of row i,
+// which makes this in-place application equivalent to numpy's deferred
+// COO update.  Postsolve rides the same kind-0 stack entry.
+bool pass_aggregate_cols(Problem& p, Result& r) {
+  const size_t m = p.rows.size();
+  const size_t n = p.c.size();
+  std::vector<std::vector<int64_t>> col_rows;
+  std::vector<std::vector<double>> col_vals;
+  build_cols(p, col_rows, col_vals);
+  std::vector<int64_t> row_nnz(m);
+  for (size_t i = 0; i < m; ++i)
+    row_nnz[i] = static_cast<int64_t>(p.rows[i].size());
+  std::vector<uint8_t> touched_r(m, 0), touched_c(n, 0);
+  std::vector<uint8_t> drop_row(m, 0), drop_col(n, 0);
+  bool any = false;
+  for (size_t j = 0; j < n; ++j) {
+    const int64_t cnnz = static_cast<int64_t>(col_rows[j].size());
+    if (cnnz < 2 || cnnz > 4) continue;
+    if (touched_c[j]) continue;
+    bool rskip = false;
+    for (int64_t rr : col_rows[j])
+      if (touched_r[rr]) { rskip = true; break; }
+    if (rskip) continue;
+    int64_t pi = -1;
+    double pa = 0.0;
+    for (size_t t = 0; t < col_rows[j].size() && pi < 0; ++t) {
+      const int64_t i = col_rows[j][t];
+      const double a = col_vals[j][t];
+      if (p.is_ineq[i] || row_nnz[i] > 32) continue;
+      if ((cnnz - 1) * (row_nnz[i] - 1) > 16) continue;  // fill-in cap
+      bool ctouch = false;
+      double vmax = 0.0;
+      for (const auto& e : p.rows[i]) {
+        if (touched_c[e.col]) { ctouch = true; break; }
+        vmax = std::max(vmax, std::fabs(e.val));
+      }
+      if (ctouch) continue;
+      if (std::fabs(a) < 1e-10 * (1.0 + vmax)) continue;  // unsafe pivot
+      // Implied interval of x_j over the other columns' boxes (ascending
+      // column order — the numpy twin accumulates identically).
+      bool ok = true;
+      double smin = 0.0, smax = 0.0;
+      for (const auto& e : p.rows[i]) {
+        if (e.col == static_cast<int32_t>(j)) continue;
+        const double p1 = e.val * p.l[e.col];
+        const double p2 = e.val * p.u[e.col];
+        if (std::isnan(p1) || std::isnan(p2)) { ok = false; break; }
+        smin += std::min(p1, p2);
+        smax += std::max(p1, p2);
+      }
+      if (!ok) continue;
+      const double qi = p.q[i];
+      const double lo_j = (a > 0) ? (qi - smax) / a : (qi - smin) / a;
+      const double hi_j = (a > 0) ? (qi - smin) / a : (qi - smax) / a;
+      const double bt = 1e-9 * (1.0 + std::fabs(qi));
+      if (std::isnan(lo_j) || std::isnan(hi_j)) continue;
+      const double lj_eff = p.l_imp[j] ? -kInf : p.l[j];
+      const double uj_eff = p.u_imp[j] ? kInf : p.u[j];
+      if (lo_j >= lj_eff - bt && hi_j <= uj_eff + bt) {
+        pi = i;
+        pa = a;
+      }
+    }
+    if (pi < 0) continue;
+    const double a = pa;
+    const double qi = p.q[pi];
+    const double cj = p.c[j];
+    // Stack entry first (row i's other columns; column j's other rows).
+    r.push_entry(0, p.orig_cols[j], a, qi, p.orig_rows[pi], cj, 0);
+    for (const auto& e : p.rows[pi]) {
+      if (e.col == static_cast<int32_t>(j)) continue;
+      r.subst_cols.push_back(p.orig_cols[e.col]);
+      r.subst_vals.push_back(e.val);
+    }
+    for (size_t t = 0; t < col_rows[j].size(); ++t) {
+      if (col_rows[j][t] == pi) continue;
+      r.dcol_rows.push_back(p.orig_rows[col_rows[j][t]]);
+      r.dcol_vals.push_back(col_vals[j][t]);
+    }
+    r.seal();
+    // Every other row rr with x_j: subtract (a_rj/a) * row_i — cancels
+    // the x_j entry exactly and adds the pivot row's other columns;
+    // rhs shifts by a_rj * q_i / a.
+    for (size_t t = 0; t < col_rows[j].size(); ++t) {
+      const int64_t rr = col_rows[j][t];
+      if (rr == pi) continue;
+      const double g = col_vals[j][t];
+      p.q[rr] -= g * (qi / a);
+      auto& row = p.rows[rr];
+      for (size_t t2 = 0; t2 < row.size(); ++t2) {
+        if (row[t2].col == static_cast<int32_t>(j)) {
+          row.erase(row.begin() + t2);
+          break;
+        }
+      }
+      for (const auto& e : p.rows[pi]) {
+        if (e.col == static_cast<int32_t>(j)) continue;
+        const double add = e.val * (-g / a);
+        size_t pos = 0;
+        while (pos < row.size() && row[pos].col < e.col) ++pos;
+        if (pos < row.size() && row[pos].col == e.col) {
+          row[pos].val += add;
+          if (row[pos].val == 0.0) row.erase(row.begin() + pos);
+        } else if (add != 0.0) {
+          row.insert(row.begin() + pos, Entry{e.col, add});
+        }
+      }
+    }
+    r.obj_offset += cj * qi / a;
+    for (const auto& e : p.rows[pi]) {
+      if (e.col == static_cast<int32_t>(j)) continue;
+      p.c[e.col] -= cj * e.val / a;
+    }
+    for (int64_t rr : col_rows[j]) touched_r[rr] = 1;
+    for (const auto& e : p.rows[pi]) touched_c[e.col] = 1;
+    touched_c[j] = 1;
+    drop_row[pi] = 1;
+    drop_col[j] = 1;
+    any = true;
+  }
+  if (!any) return false;
+  drop_rows(p, drop_row, r);
+  drop_cols(p, drop_col, r);
+  return true;
+}
+
+// Sparsify (PaPILO Sparsify): adding lam * (equality row i) to any row r
+// preserves the feasible set exactly; when supp(i) is a subset of
+// supp(r) the combination creates no fill, and lam chosen to cancel the
+// lead entry strictly reduces nonzeros.  Applied when >= 2 entries
+// cancel (the lead by construction, others only on exact fp zeros — no
+// tolerance-based perturbation).  Primal no-op; the kind-4 stack entry
+// restores the absorbed dual: y_i += lam * y_r.  Mirrors the numpy pass
+// (pivots ascending; targets ascending within the lead column; a row
+// modified as a target is excluded for the rest of the batch).
+bool pass_sparsify(Problem& p, Result& r) {
+  const size_t m = p.rows.size();
+  std::vector<std::vector<int64_t>> col_rows;
+  std::vector<std::vector<double>> col_vals;
+  build_cols(p, col_rows, col_vals);
+  std::vector<uint8_t> touched(m, 0);
+  bool any = false;
+  for (size_t i = 0; i < m; ++i) {
+    if (p.is_ineq[i]) continue;
+    const int64_t nn = static_cast<int64_t>(p.rows[i].size());
+    if (nn < 2 || nn > 8) continue;
+    if (touched[i]) continue;
+    const int32_t j0 = p.rows[i][0].col;
+    const double a0 = p.rows[i][0].val;
+    for (size_t t = 0; t < col_rows[j0].size(); ++t) {
+      const int64_t rr = col_rows[j0][t];
+      if (rr == static_cast<int64_t>(i) || touched[rr]) continue;
+      auto& row = p.rows[rr];
+      if (static_cast<int64_t>(row.size()) < nn) continue;
+      // Subset check + positions of supp(i) inside supp(r) (both sorted).
+      std::vector<size_t> pos(nn);
+      bool subset = true;
+      size_t pr = 0;
+      for (int64_t t2 = 0; t2 < nn && subset; ++t2) {
+        const int32_t want = p.rows[i][t2].col;
+        while (pr < row.size() && row[pr].col < want) ++pr;
+        if (pr >= row.size() || row[pr].col != want) subset = false;
+        else pos[t2] = pr;
+      }
+      if (!subset) continue;
+      const double lam = -row[pos[0]].val / a0;
+      int cancels = 1;
+      for (int64_t t2 = 1; t2 < nn; ++t2) {
+        if (row[pos[t2]].val + lam * p.rows[i][t2].val == 0.0) ++cancels;
+      }
+      if (cancels < 2) continue;
+      p.q[rr] += lam * p.q[i];
+      // Non-lead entries first (their positions survive the adds; exact
+      // zeros erased afterwards, from the back, then the lead).
+      for (int64_t t2 = 1; t2 < nn; ++t2) {
+        row[pos[t2]].val += lam * p.rows[i][t2].val;
+      }
+      for (int64_t t2 = nn - 1; t2 >= 1; --t2) {
+        if (row[pos[t2]].val == 0.0) row.erase(row.begin() + pos[t2]);
+      }
+      row.erase(row.begin() + pos[0]);  // lead cancels by construction
+      r.push_entry(4, p.orig_rows[i], lam, 0.0, p.orig_rows[rr], 0.0, 0);
+      r.seal();
+      touched[rr] = 1;
+      any = true;
+    }
+  }
+  return any;
+}
+
 }  // namespace
 
 extern "C" {
@@ -910,6 +1135,8 @@ void* tpdlp_presolve_run(
   p.q.assign(q, q + m);
   p.l.assign(l, l + n);
   p.u.assign(u, u + n);
+  p.l_imp.assign(n, 0);
+  p.u_imp.assign(n, 0);
   p.orig_cols.resize(n);
   for (int64_t j = 0; j < n; ++j) p.orig_cols[j] = j;
   p.orig_rows.resize(m);
@@ -923,17 +1150,21 @@ void* tpdlp_presolve_run(
     if (res->status != kRunning) break;
     if (pass_singleton_rows(p, *res)) { changed = true; continue; }
     if (res->status != kRunning) break;
-    if (pass_row_activity(p, *res)) { changed = true; continue; }
+    bool tightened = false;
+    if (pass_row_activity(p, *res, &tightened)) { changed = true; continue; }
     if (res->status != kRunning) break;
+    if (tightened) changed = true;
     if (pass_columns(p, *res)) { changed = true; continue; }
     if (res->status != kRunning) break;
     if (pass_dominated_cols(p, *res)) { changed = true; continue; }
     if (res->status != kRunning) break;
     if (pass_free_singleton_cols(p, *res)) { changed = true; continue; }
     if (pass_doubleton_eq(p, *res)) { changed = true; continue; }
+    if (pass_aggregate_cols(p, *res)) { changed = true; continue; }
     if (pass_parallel_cols(p, *res)) { changed = true; continue; }
     if (pass_duplicate_rows(p, *res)) changed = true;
     if (res->status != kRunning) break;
+    if (pass_sparsify(p, *res)) changed = true;
   }
 
   if (res->status == kRunning && p.c.empty() && p.rows.empty()) {

@@ -112,7 +112,7 @@ def _ptr(a, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
 
 
-def presolve_cpp(problem, *, max_passes: int = 10):
+def presolve_cpp(problem, *, max_passes: int = 25):
     """Run the C++ presolve core; same result contract as the Python path."""
     from tpdlp.presolve.reductions import PostsolveData, PresolveResult
     from tpdlp.problem import LPProblem

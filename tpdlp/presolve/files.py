@@ -29,7 +29,7 @@ def presolve_mps(
     transformation_file: str,
     *,
     backend: str = "python",
-    max_passes: int = 10,
+    max_passes: int = 25,
 ) -> dict:
     """Presolve an MPS file; write the reduced MPS + transformation record.
 

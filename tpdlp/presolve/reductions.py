@@ -181,7 +181,10 @@ class PostsolveData:
             fixed_idx=z["fixed_idx"],
             fixed_val=z["fixed_val"],
             obj_offset=float(z["obj_offset"]),
-            m_orig=int(z["m_orig"]) if "m_orig" in z.files else 0,
+            # -1 = legacy file without dual info (round-1 format): a
+            # sentinel rather than 0 so postsolve_dual can raise a clear
+            # error instead of silently returning a length-0 vector.
+            m_orig=int(z["m_orig"]) if "m_orig" in z.files else -1,
             row_map=z["row_map"] if "row_map" in z.files else np.zeros(
                 0, np.int64
             ),
@@ -259,9 +262,20 @@ def postsolve_dual(
     Rows removed as redundant (empty, activity-redundant, slack
     duplicates) keep y = 0, which satisfies complementary slackness.
     """
+    if data.m_orig < 0:
+        raise ValueError(
+            "this transformation record predates dual postsolve support "
+            "(no m_orig/row_map): re-run presolve to regenerate it; only "
+            "postsolve()/postsolve_solution (primal) works with legacy "
+            "files"
+        )
     y = np.zeros(data.m_orig)
     if data.row_map.size != np.asarray(y_reduced).size:
-        return y  # legacy postsolve data without dual info: y = 0
+        raise ValueError(
+            f"reduced dual has {np.asarray(y_reduced).size} entries but "
+            f"the transformation record maps {data.row_map.size} "
+            "surviving rows"
+        )
     if data.row_map.size:
         y[data.row_map] = y_reduced
     kinds = data.subst_kind
@@ -273,6 +287,13 @@ def postsolve_dual(
             i, i0 = data.subst_idx[t], data.subst_row[t]
             y[i] = y[i0] / data.subst_scale[t]
             y[i0] = 0.0
+            continue
+        if kind == 4:
+            # Sparsify: row r absorbed lam * (equality row i); undoing the
+            # combination moves the absorbed multiplier back onto row i.
+            y[data.subst_idx[t]] += (
+                data.subst_scale[t] * y[data.subst_row[t]]
+            )
             continue
         i = data.subst_row[t]
         if i < 0:
@@ -307,7 +328,7 @@ def _feas_tol(q):
 def presolve(
     problem: LPProblem,
     *,
-    max_passes: int = 10,
+    max_passes: int = 25,
     backend: str = "python",
 ) -> PresolveResult:
     """Reduce an LP; returns the reduced problem + postsolve data.
@@ -333,6 +354,14 @@ def presolve(
     u = np.asarray(problem.u, np.float64).copy()
     m, n = K.shape
     is_ineq = np.arange(m) < problem.m_ineq
+    # Implied-bound flags (PaPILO's boundsImplied): True when the finite
+    # value in l/u was DERIVED from row activities by the tightening pass
+    # (the rows stay in the problem, so the box bound is redundant and can
+    # never bind strictly).  Implied-freeness checks treat such bounds as
+    # +-inf; bounds set by passes that REMOVE their implying row (singleton
+    # rows, duality fixing) are real and clear the flag.
+    l_imp = np.zeros(n, dtype=bool)
+    u_imp = np.zeros(n, dtype=bool)
 
     # Bookkeeping against ORIGINAL indices.
     orig_cols = np.arange(n)
@@ -440,6 +469,7 @@ def presolve(
                                 dc_rows=dr, dc_vals=dv,
                             )
                             l[j] = v
+                            l_imp[j] = False
                     else:
                         if v < u[j]:
                             dr, dv = col_snapshot(Kc_snap, j, i)
@@ -449,6 +479,7 @@ def presolve(
                                 dc_rows=dr, dc_vals=dv,
                             )
                             u[j] = v
+                            u_imp[j] = False
                 else:
                     # equality pins the variable; the row's (free) dual
                     # absorbs whatever reduced cost remains on x_j.
@@ -460,6 +491,8 @@ def presolve(
                     )
                     l[j] = max(l[j], v)
                     u[j] = min(u[j], v)
+                    l_imp[j] = False
+                    u_imp[j] = False
                 drop_rows[i] = True
             # NaN-safe threshold: u = -inf would give -inf + inf = NaN and
             # the comparison would silently miss the infeasibility.
@@ -595,6 +628,7 @@ def presolve(
                     dc_rows=dr, dc_vals=dv,
                 )
                 l[j] = best_l[j]
+                l_imp[j] = True
             first_u = first_hits(imp_u, cand_u, best_u)
             for j in imp_u:
                 e0 = first_u[j]
@@ -607,12 +641,17 @@ def presolve(
                     dc_rows=dr, dc_vals=dv,
                 )
                 u[j] = best_u[j]
+                u_imp[j] = True
             if np.any(l > u + 1e-9 * (1 + np.abs(np.where(np.isfinite(u),
                                                           u, 0.0)))):
                 fail(Status.PRIMAL_INFEASIBLE)
                 break
             changed = True
-            continue
+            # Tightening leaves the matrix shape untouched, so FALL
+            # THROUGH: propagation alone can keep improving bounds by
+            # >threshold amounts for many rounds (staircase models), and
+            # a `continue` here would starve every later family within
+            # the pass budget.
 
         # ---- fixed variables (l == u) and empty columns ----
         Kc = K.tocsc()
@@ -637,6 +676,7 @@ def presolve(
                         u[j] if np.isfinite(u[j]) else 0.0
                     )
                 l[j] = u[j] = v
+                l_imp[j] = u_imp[j] = False
             if status != Status.RUNNING:
                 break
             with np.errstate(invalid="ignore"):
@@ -654,6 +694,8 @@ def presolve(
             c = c[keep_cols]
             l = l[keep_cols]
             u = u[keep_cols]
+            l_imp = l_imp[keep_cols]
+            u_imp = u_imp[keep_cols]
             orig_cols = orig_cols[keep_cols]
             cols_removed += int(fixed.sum())
             changed = True
@@ -686,6 +728,7 @@ def presolve(
         for j in np.flatnonzero(cand_lo):
             if np.isfinite(l[j]):
                 u[j] = l[j]
+                l_imp[j] = u_imp[j] = False
                 dom = True
             elif c[j] > 0:
                 fail(Status.DUAL_INFEASIBLE)
@@ -694,6 +737,7 @@ def presolve(
             for j in np.flatnonzero(cand_hi & ~cand_lo):
                 if np.isfinite(u[j]):
                     l[j] = u[j]
+                    l_imp[j] = u_imp[j] = False
                     dom = True
                 elif c[j] < 0:
                     fail(Status.DUAL_INFEASIBLE)
@@ -711,7 +755,10 @@ def presolve(
         # into the remaining costs.  Primal recovery happens in the
         # postsolve substitution stack (PaPILO's column-singleton family).
         col_nnz3 = np.diff(Kc2.indptr)
-        free_col = np.isneginf(l) & np.isposinf(u)
+        # Effectively free: the bound is -inf/+inf OR was derived purely
+        # from row activities (implied — it can never bind strictly, so
+        # lambda_j = 0 and the shift-recovered dual stays exact).
+        free_col = (np.isneginf(l) | l_imp) & (np.isposinf(u) | u_imp)
         cand_fs = np.flatnonzero((col_nnz3 == 1) & free_col)
         if cand_fs.size:
             Kr = K.tocsr()
@@ -751,6 +798,8 @@ def presolve(
                 c = c[keep_c]
                 l = l[keep_c]
                 u = u[keep_c]
+                l_imp = l_imp[keep_c]
+                u_imp = u_imp[keep_c]
                 orig_cols = orig_cols[keep_c]
                 rows_removed += int(drop_row.sum())
                 cols_removed += int(drop_col.sum())
@@ -797,7 +846,9 @@ def presolve(
                     bt = 1e-9 * (1.0 + abs(qi))
                     if np.isnan(lo_j) or np.isnan(hi_j):
                         continue  # 0 * inf: b vanishes under inf bound
-                    if lo_j >= l[j] - bt and hi_j <= u[j] + bt:
+                    lj_eff = -np.inf if l_imp[j] else l[j]
+                    uj_eff = np.inf if u_imp[j] else u[j]
+                    if lo_j >= lj_eff - bt and hi_j <= uj_eff + bt:
                         picked = (j, a, k, b)
                         break
                 if picked is None:
@@ -852,9 +903,168 @@ def presolve(
                 c = c[keep_c]
                 l = l[keep_c]
                 u = u[keep_c]
+                l_imp = l_imp[keep_c]
+                u_imp = u_imp[keep_c]
                 orig_cols = orig_cols[keep_c]
                 rows_removed += int(drop_row4.sum())
                 cols_removed += int(drop_col4.sum())
+                changed = True
+                continue
+
+        # ---- implied-free column substitution (PaPILO Substitution) ----
+        # Aggregation: a column j with few nonzeros, pivoting on an
+        # equality row i whose interval-implied range for x_j (over the
+        # OTHER variables' boxes) lies inside [l_j, u_j] — x_j is implied
+        # free, its bounds can never bind — substitutes
+        # x_j = (q_i - sum_{k != j} a_ik x_k) / a_ij into every other row
+        # containing x_j.  Generalizes the free-singleton (col support 1)
+        # and doubleton-equation (row support 2) passes; reference
+        # interface parity: the PaPILO binary the reference shells out to
+        # (Packages/prepostsolve.py:17-26) applies the same family.
+        # Postsolve rides the same kind-0 stack entry.  Batch exclusion:
+        # an accepted substitution invalidates every row of column j and
+        # every column of row i, so candidates touching them defer to the
+        # next outer pass — this keeps the deferred COO update equivalent
+        # to in-place application (and the C++ twin in lockstep).
+        Kr6 = K.tocsr()
+        Kc6 = Kr6.tocsc()
+        row_nnz6 = np.diff(Kr6.indptr)
+        col_nnz6 = np.diff(Kc6.indptr)
+        cand_ag = np.flatnonzero((col_nnz6 >= 2) & (col_nnz6 <= 4))
+        if cand_ag.size:
+            m, n = Kr6.shape
+            touched_r = np.zeros(m, dtype=bool)
+            touched_c = np.zeros(n, dtype=bool)
+            upd_r6: list[np.ndarray] = []
+            upd_c6: list[np.ndarray] = []
+            upd_v6: list[np.ndarray] = []
+            drop_row6 = np.zeros(m, dtype=bool)
+            drop_col6 = np.zeros(n, dtype=bool)
+            any_ag = False
+            for j in cand_ag:
+                cs_, ce_ = Kc6.indptr[j], Kc6.indptr[j + 1]
+                rows_j = Kc6.indices[cs_:ce_]
+                vals_j = Kc6.data[cs_:ce_]
+                if touched_c[j] or touched_r[rows_j].any():
+                    continue
+                picked6 = None
+                for t6 in range(rows_j.size):
+                    i = rows_j[t6]
+                    a = vals_j[t6]
+                    if is_ineq[i] or row_nnz6[i] > 32:
+                        continue
+                    if (col_nnz6[j] - 1) * (row_nnz6[i] - 1) > 16:
+                        continue  # fill-in cap
+                    rs_, re_ = Kr6.indptr[i], Kr6.indptr[i + 1]
+                    cols_i = Kr6.indices[rs_:re_]
+                    vals_i = Kr6.data[rs_:re_]
+                    if touched_c[cols_i].any():
+                        continue
+                    if abs(a) < 1e-10 * (1.0 + np.max(np.abs(vals_i))):
+                        continue  # numerically unsafe pivot
+                    # Implied interval of x_j over the other columns'
+                    # boxes (sum in ascending column order — the C++
+                    # twin accumulates identically).
+                    ok6 = True
+                    smin = 0.0
+                    smax = 0.0
+                    for t7 in range(cols_i.size):
+                        k = cols_i[t7]
+                        if k == j:
+                            continue
+                        av = vals_i[t7]
+                        p1 = av * l[k]
+                        p2 = av * u[k]
+                        if np.isnan(p1) or np.isnan(p2):
+                            ok6 = False  # 0 * inf cannot happen for
+                            break  # stored nonzeros, but stay NaN-safe
+                        smin += min(p1, p2)
+                        smax += max(p1, p2)
+                    if not ok6:
+                        continue
+                    qi6 = q[i]
+                    if a > 0:
+                        lo_j = (qi6 - smax) / a
+                        hi_j = (qi6 - smin) / a
+                    else:
+                        lo_j = (qi6 - smin) / a
+                        hi_j = (qi6 - smax) / a
+                    bt6 = 1e-9 * (1.0 + abs(qi6))
+                    if np.isnan(lo_j) or np.isnan(hi_j):
+                        continue
+                    lj_eff = -np.inf if l_imp[j] else l[j]
+                    uj_eff = np.inf if u_imp[j] else u[j]
+                    if lo_j >= lj_eff - bt6 and hi_j <= uj_eff + bt6:
+                        picked6 = (i, a, cols_i, vals_i)
+                        break
+                if picked6 is None:
+                    continue
+                i, a, cols_i, vals_i = picked6
+                qi6 = q[i]
+                other6 = rows_j != i
+                rws_o6 = rows_j[other6]
+                gvs_o6 = vals_j[other6]
+                keep_k6 = cols_i != j
+                cols_no = cols_i[keep_k6]
+                vals_no = vals_i[keep_k6]
+                # Every other row r with x_j: subtract (a_rj/a) * row_i —
+                # cancels the x_j entry exactly and adds the pivot row's
+                # other columns; rhs shifts by a_rj * q_i / a.
+                for t8 in range(rws_o6.size):
+                    g6 = gvs_o6[t8]
+                    upd_r6.append(
+                        np.full(cols_no.size, rws_o6[t8], dtype=np.int64)
+                    )
+                    upd_c6.append(cols_no.astype(np.int64))
+                    upd_v6.append(vals_no * (-g6 / a))
+                q[rws_o6] -= gvs_o6 * (qi6 / a)
+                upd_r6.append(rws_o6.astype(np.int64))
+                upd_c6.append(np.full(rws_o6.size, j, dtype=np.int64))
+                upd_v6.append(-gvs_o6)
+                push_entry(
+                    0, orig_cols[j], a, qi6,
+                    orig_cols[cols_no].copy(), vals_no.copy(),
+                    row=orig_rows[i], cj=c[j],
+                    dc_rows=orig_rows[rws_o6], dc_vals=gvs_o6,
+                )
+                obj_offset += c[j] * qi6 / a
+                c[cols_no] -= c[j] * vals_no / a
+                touched_r[rows_j] = True
+                touched_c[cols_i] = True
+                touched_c[j] = True
+                drop_row6[i] = True
+                drop_col6[j] = True
+                any_ag = True
+            if any_ag:
+                if upd_r6:
+                    U6 = sp.coo_matrix(
+                        (
+                            np.concatenate(upd_v6),
+                            (
+                                np.concatenate(upd_r6),
+                                np.concatenate(upd_c6),
+                            ),
+                        ),
+                        shape=Kr6.shape,
+                    )
+                    K = (Kr6 + U6.tocsr()).tocsr()
+                else:
+                    K = Kr6
+                keep_r6 = ~drop_row6
+                keep_c6 = ~drop_col6
+                K = K[keep_r6][:, keep_c6]
+                K.eliminate_zeros()
+                q = q[keep_r6]
+                is_ineq = is_ineq[keep_r6]
+                orig_rows = orig_rows[keep_r6]
+                c = c[keep_c6]
+                l = l[keep_c6]
+                u = u[keep_c6]
+                l_imp = l_imp[keep_c6]
+                u_imp = u_imp[keep_c6]
+                orig_cols = orig_cols[keep_c6]
+                rows_removed += int(drop_row6.sum())
+                cols_removed += int(drop_col6.sum())
                 changed = True
                 continue
 
@@ -911,6 +1121,7 @@ def presolve(
             else:
                 l[j0] = l[j0] + lam * u[j]
                 u[j0] = u[j0] + lam * l[j]
+            l_imp[j0] = u_imp[j0] = False
             drop_col5[j] = True
             merged = True
         if merged:
@@ -919,6 +1130,8 @@ def presolve(
             c = c[keep_c]
             l = l[keep_c]
             u = u[keep_c]
+            l_imp = l_imp[keep_c]
+            u_imp = u_imp[keep_c]
             orig_cols = orig_cols[keep_c]
             cols_removed += int(drop_col5.sum())
             changed = True
@@ -989,6 +1202,85 @@ def presolve(
                 is_ineq = is_ineq[keep]
                 orig_rows = orig_rows[keep]
                 rows_removed += int(drop_rows.sum())
+                changed = True
+
+        # ---- sparsify (PaPILO Sparsify): row-combination cancellation --
+        # Adding a multiple of an EQUALITY row i to any row r preserves
+        # the feasible set exactly (for inequalities too: the added term
+        # is identically q_i on it).  When supp(i) is a subset of supp(r)
+        # the combination creates no fill, so choosing lam to cancel the
+        # lead entry strictly reduces nonzeros; it is applied when at
+        # least 2 entries cancel (the lead by construction, others only
+        # when the fp sum is exactly zero — no tolerance-based
+        # perturbation of the problem).  Primal is untouched; the kind-4
+        # stack entry restores the absorbed dual: y_i += lam * y_r.
+        K = K.tocsr()
+        K.eliminate_zeros()
+        row_nnz7 = np.diff(K.indptr)
+        piv7 = np.flatnonzero(~is_ineq & (row_nnz7 >= 2) & (row_nnz7 <= 8))
+        if piv7.size:
+            Kc7 = K.tocsc()
+            m = K.shape[0]
+            touched7 = np.zeros(m, dtype=bool)
+            upd_r7: list[np.ndarray] = []
+            upd_c7: list[np.ndarray] = []
+            upd_v7: list[np.ndarray] = []
+            any_sp = False
+            for i in piv7:
+                if touched7[i]:
+                    continue  # modified as a target earlier in the batch
+                rs_, re_ = K.indptr[i], K.indptr[i + 1]
+                cols_i = K.indices[rs_:re_]
+                vals_i = K.data[rs_:re_]
+                j0 = cols_i[0]
+                a0 = vals_i[0]
+                cs_, ce_ = Kc7.indptr[j0], Kc7.indptr[j0 + 1]
+                for t9 in range(ce_ - cs_):
+                    r = Kc7.indices[cs_ + t9]
+                    if r == i or touched7[r]:
+                        continue
+                    if row_nnz7[r] < row_nnz7[i]:
+                        continue
+                    ts_, te_ = K.indptr[r], K.indptr[r + 1]
+                    cols_r = K.indices[ts_:te_]
+                    pos7 = np.searchsorted(cols_r, cols_i)
+                    if np.any(pos7 >= cols_r.size) or np.any(
+                        cols_r[np.minimum(pos7, cols_r.size - 1)] != cols_i
+                    ):
+                        continue  # supp(i) not a subset of supp(r)
+                    vals_r = K.data[ts_:te_]
+                    lam7 = -vals_r[pos7[0]] / a0
+                    cancels = 1
+                    for t10 in range(1, cols_i.size):
+                        if vals_r[pos7[t10]] + lam7 * vals_i[t10] == 0.0:
+                            cancels += 1
+                    if cancels < 2:
+                        continue
+                    # Lead entry cancelled exactly by construction (the
+                    # explicit -a_r,j0 dodges lam*a_i,j0 rounding).
+                    upd_r7.append(np.full(1, r, dtype=np.int64))
+                    upd_c7.append(np.full(1, j0, dtype=np.int64))
+                    upd_v7.append(np.array([-vals_r[pos7[0]]]))
+                    upd_r7.append(np.full(cols_i.size - 1, r, np.int64))
+                    upd_c7.append(cols_i[1:].astype(np.int64))
+                    upd_v7.append(lam7 * vals_i[1:])
+                    q[r] += lam7 * q[i]
+                    push_entry(
+                        4, orig_rows[i], lam7, 0.0, [], [],
+                        row=orig_rows[r],
+                    )
+                    touched7[r] = True
+                    any_sp = True
+            if any_sp:
+                U7 = sp.coo_matrix(
+                    (
+                        np.concatenate(upd_v7),
+                        (np.concatenate(upd_r7), np.concatenate(upd_c7)),
+                    ),
+                    shape=K.shape,
+                )
+                K = (K + U7.tocsr()).tocsr()
+                K.eliminate_zeros()
                 changed = True
 
     indptr = np.zeros(len(subst_idx) + 1, np.int64)
