@@ -296,14 +296,21 @@ class BandOp(LinOp):
 
     @classmethod
     def from_scipy(cls, K, dtype=jnp.float32, *, group_rows=None,
-                   max_window=None, device_build: bool = True):
+                   max_window=None, device_build: bool = True,
+                   host: bool = False):
         """Build both directions; None if either side is not band-like.
 
         `device_build` (default) ships COO triplets and scatters the
-        slabs on device; False keeps the host numpy build (tests)."""
+        slabs on device; False keeps the host numpy build.  `host=True`
+        (implies device_build=False) returns HOST numpy slab arrays so
+        the sharded path can `jax.device_put` each leaf straight to its
+        target NamedSharding without staging the whole operator through
+        one device."""
         K = K.tocoo() if sp.issparse(K) else sp.coo_matrix(np.asarray(K))
         gr = group_rows or cls.GROUP_ROWS
         mw = max_window or cls.MAX_WINDOW
+        if host:
+            device_build = False
         f = _build_band(K, gr, mw, dtype=dtype, device_build=device_build)
         if f is None:
             return None
@@ -311,9 +318,17 @@ class BandOp(LinOp):
                         device_build=device_build)
         if b is None:
             return None
-        mk = lambda e: _BandMat(
-            jnp.asarray(e.slabs, dtype), jnp.asarray(e.starts), e.m, e.n
-        )
+        if host:
+            npdt = np.dtype(dtype)
+            mk = lambda e: _BandMat(
+                np.asarray(e.slabs, npdt), np.asarray(e.starts, np.int32),
+                e.m, e.n,
+            )
+        else:
+            mk = lambda e: _BandMat(
+                jnp.asarray(e.slabs, dtype), jnp.asarray(e.starts),
+                e.m, e.n,
+            )
         op = cls(mk(f), mk(b))
         op._nnz = f.nnz
         return op

@@ -177,13 +177,28 @@ class BlockEllOp(LinOp):
     bwd: _EllMat  # K'
 
     @classmethod
-    def from_scipy(cls, K, dtype=jnp.float32):
+    def from_scipy(cls, K, dtype=jnp.float32, *, host: bool = False):
+        """Build both directions.
+
+        `host=True` keeps the tile arrays as HOST numpy: the sharded
+        solve path then does ONE `jax.device_put` per leaf with the
+        target NamedSharding, so no single device ever stages the whole
+        operator (the >HBM single-LP and fp64-escalation-tail use cases
+        this layout exists for)."""
         K = K.tocoo() if sp.issparse(K) else sp.coo_matrix(K)
         f = _build_ell(K)
         b = _build_ell(K.T.tocoo())
-        mk = lambda e: _EllMat(
-            jnp.asarray(e.tiles, dtype), jnp.asarray(e.col_idx), e.m, e.n
-        )
+        if host:
+            npdt = np.dtype(dtype)
+            mk = lambda e: _EllMat(
+                e.tiles.astype(npdt), np.asarray(e.col_idx, np.int32),
+                e.m, e.n,
+            )
+        else:
+            mk = lambda e: _EllMat(
+                jnp.asarray(e.tiles, dtype), jnp.asarray(e.col_idx),
+                e.m, e.n,
+            )
         op = cls(mk(f), mk(b))
         op._nnz = f.nnz
         return op

@@ -680,7 +680,12 @@ def solve(
             coo = sp.coo_matrix(
                 (coo.data, (coo.row, coo.col)), shape=(m_pad, n_pad)
             )
-            op0 = BandOp.from_scipy(coo, dtype)
+            # Host-side layout build + ONE device_put per leaf with the
+            # target sharding: no single device ever stages the whole
+            # operator (this path exists for >HBM single LPs and the
+            # fp64 escalation tail, where staging through one chip would
+            # OOM or trip the emulated-fp64 buffer limit).
+            op0 = BandOp.from_scipy(coo, dtype, host=True)
             if op0 is None:
                 raise ValueError(
                     "matrix_format='band': K is not band-like (some "
@@ -700,9 +705,13 @@ def solve(
             coo = sp.coo_matrix(
                 (coo.data, (coo.row, coo.col)), shape=(m_pad, n_pad)
             )
-            # Build sharded from the start so no single device ever holds
-            # the whole operator (preprocessing runs distributed too).
-            op = shard_block_ell(BlockEllOp.from_scipy(coo, dtype), mesh)
+            # Host-side layout build, then ONE device_put per leaf with
+            # the target sharding (shard_block_ell): no single device
+            # ever holds — or even stages — the whole operator, and
+            # preprocessing runs distributed too.
+            op = shard_block_ell(
+                BlockEllOp.from_scipy(coo, dtype, host=True), mesh
+            )
             _, vec_s, _ = flat_shardings(mesh)
             yvec_s = xvec_s = vec_s
         else:
@@ -722,15 +731,18 @@ def solve(
         if not sparse_mesh and not band_mesh:
             K_p = np.zeros((m_pad, n_pad), dtype=K.dtype)
             K_p[:m, :n] = K
-            op = DenseOp(jax.device_put(jnp.asarray(K_p), mat_s))
+            # device_put the HOST array with its sharding directly — a
+            # jnp.asarray here would stage the full dense matrix on the
+            # default device first.
+            op = DenseOp(jax.device_put(K_p, mat_s))
         if x0 is not None:
             x0 = np.concatenate([np.asarray(x0), np.zeros(n_pad - n)])
         if y0 is not None:
             y0 = np.concatenate([np.asarray(y0), np.zeros(m_pad - m)])
-        c = jax.device_put(jnp.asarray(c_p), xvec_s)
-        q = jax.device_put(jnp.asarray(q_p), yvec_s)
-        l = jax.device_put(jnp.asarray(l_p), xvec_s)
-        u = jax.device_put(jnp.asarray(u_p), xvec_s)
+        c = jax.device_put(np.asarray(c_p, dtype), xvec_s)
+        q = jax.device_put(np.asarray(q_p, dtype), yvec_s)
+        l = jax.device_put(np.asarray(l_p, dtype), xvec_s)
+        u = jax.device_put(np.asarray(u_p, dtype), xvec_s)
 
     key = jax.random.PRNGKey(seed)
     mask_j = jnp.asarray(mask)
