@@ -106,8 +106,12 @@ def test_refine_kkt_budget_exhaustion_is_honest():
 def test_refine_op_cache_reused_across_rounds():
     p = generate_feasible_lp(n=30, m_ineq=20, m_eq=6, seed=1)
     cache = {}
+    # Polish off: this test exercises the correction-round operator
+    # cache, and the active-set polish would certify 1e-9 straight from
+    # stage 1 (no correction solve would ever run).
     cfg = SolverConfig(tol=1e-9, max_kkt=400_000, scaling="ruiz",
-                       adaptive=True, abs_gap_termination=True)
+                       adaptive=True, abs_gap_termination=True,
+                       refine_polish=False)
     r = solve_refined(p, cfg, solve_fn=solve, seed=0, op_cache=cache)
     assert r.status == Status.SOLVED
     # Two fp32 operators — the stage-1 matrix and the slack-form

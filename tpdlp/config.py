@@ -160,6 +160,17 @@ class SolverConfig:
     #: free, so a wrongly-pinned row's dual shrinks and unpins it next
     #: round (see solver/refine.py).
     refine_dual_cap: float = 100.0
+    #: Crossover-style active-set polish between refinement rounds
+    #: (solver/refine.py::_active_set_polish): identify the active set
+    #: from the fp64 incumbent pair, snap at-bound coordinates exactly,
+    #: and solve the reduced stationarity / tight-row systems with host
+    #: fp64 LSMR.  Every candidate is guarded by the honest fp64 residual
+    #: measure — a misidentified active set is rejected, never folded.
+    #: This is what closes the duality gap on instances where the fp32
+    #: correction solves stall against the gap's representation floor
+    #: (all-finite-box problems have dual residual identically 0, so the
+    #: gap is the only dual error signal).
+    refine_polish: bool = True
 
     # Initialisation (PDLP/primal_dual_hybrid_gradient.py:22-25).
     eta_safety: float = 0.9

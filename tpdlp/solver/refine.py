@@ -155,6 +155,91 @@ def _elastic_form(K_aug):
     return np.hstack([K_aug, eye, -eye])
 
 
+def _active_set_polish(K64, c, q, l, u, m_ineq, xh, yh, res,
+                       q_norm, c_norm, tol, *, eps_rel):
+    """Crossover-style host-fp64 polish of the incumbent pair.
+
+    First-order iterates approach the optimal face geometrically slowly
+    in the GAP even when feasibility is tight (PDHG's known tail).  Once
+    the incumbent is close, its support identifies the optimal active
+    set; conditioned on that guess the optimality system is LINEAR, so a
+    least-squares solve (LSMR, host fp64) jumps the pair the rest of the
+    way — the same finishing move simplex crossover performs after
+    barrier.  The guess is only trusted AFTER the fact: the caller folds
+    the candidate through the honest fp64 residual guards, so a
+    misidentified set costs one rejected attempt, never a regression.
+
+    Primal: at-bound coordinates snap exactly to their bound; interior
+    coordinates absorb the tight rows' residual via LSMR on
+    K[tight][:, interior].  Dual: slack inequality rows get y = 0;
+    tight/equality rows solve the interior columns' stationarity
+    K[tight][:, interior]' y = c[interior] (then y_ineq >= 0 projection).
+
+    Returns (x_cand, y_cand, matvec_count) — candidates in the original
+    frame, untouched incumbents when a side has nothing to do.
+    """
+    from scipy.sparse.linalg import lsmr
+
+    m, n = K64.shape
+    sparse = sp.issparse(K64)
+    Kr = K64.tocsr() if sparse else K64
+
+    span = np.where(np.isfinite(u) & np.isfinite(l), u - l, np.inf)
+    d_lo = xh - l  # >= 0 (incumbent is kept clipped to the box)
+    d_hi = u - xh
+    thr_x = eps_rel * (1.0 + np.abs(xh))
+    at_lo = d_lo <= np.minimum(thr_x, 0.45 * span)
+    at_hi = (d_hi <= np.minimum(thr_x, 0.45 * span)) & ~at_lo
+    interior = ~(at_lo | at_hi)
+
+    # Row activity from the raw residual (rp_vec = q - K x): an
+    # inequality row is slack when K x exceeds q by more than the
+    # tolerance band.
+    thr_r = eps_rel * (1.0 + np.abs(q))
+    slack_ineq = np.zeros(m, dtype=bool)
+    slack_ineq[:m_ineq] = res.rp_vec[:m_ineq] < -thr_r[:m_ineq]
+    tight = ~slack_ineq
+
+    n_int = int(interior.sum())
+    n_tight = int(tight.sum())
+    x_cand = xh.copy()
+    x_cand[at_lo] = l[at_lo]
+    x_cand[at_hi] = u[at_hi]
+    y_cand = yh.copy()
+    y_cand[slack_ineq] = 0.0
+    if not (n_int and n_tight):
+        return x_cand, y_cand, 0
+
+    # One shared submatrix serves both solves: the tight rows x interior
+    # columns block B.  Primal: B d = (q - K x)_tight.  Dual (interior
+    # stationarity, slack duals already zero): B' y_tight = c_interior.
+    B = (Kr[tight.nonzero()[0]][:, interior.nonzero()[0]] if sparse
+         else Kr[np.ix_(tight, interior)])
+    nnz_frac = (B.nnz / max(K64.nnz, 1)) if sparse else (
+        B.size / max(m * n, 1)
+    )
+    matvecs = 0.0
+
+    # atol/btol at fp64 working precision: the fold guard judges the
+    # outcome, LSMR just has to get close.
+    r_t = q[tight] - Kr[tight.nonzero()[0]] @ x_cand if sparse \
+        else q[tight] - Kr[tight] @ x_cand
+    out = lsmr(B, r_t, atol=1e-14, btol=1e-14, maxiter=400)
+    matvecs += 2 * int(out[2]) * nnz_frac + 1
+    x_int = x_cand[interior] + out[0]
+    x_cand[interior] = np.clip(x_int, l[interior], u[interior])
+
+    # Solve from scratch (not a delta): the incumbent dual is itself the
+    # obstacle, and LSMR returns the minimum-norm solution of the
+    # underdetermined stationarity system.
+    out = lsmr(B.T, c[interior], atol=1e-14, btol=1e-14, maxiter=400)
+    matvecs += 2 * int(out[2]) * nnz_frac
+    y_full = np.zeros(m)
+    y_full[tight.nonzero()[0]] = out[0]
+    y_full[:m_ineq] = np.maximum(y_full[:m_ineq], 0.0)
+    return x_cand, y_full, int(np.ceil(matvecs))
+
+
 def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
     """fp32 coarse solve + zoomed-correction refinement rounds to cfg.tol.
 
@@ -175,6 +260,10 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
     # the coarse stage and refinement re-runs (cheap relative to stage 1).
     checkpoint_path = kw.pop("checkpoint_path", None)
     resume = kw.pop("resume", False)
+    # Warm starts apply to stage 1 only: correction problems live in the
+    # zoomed slack frame, where an original-frame point is meaningless.
+    x0 = kw.pop("x0", None)
+    y0 = kw.pop("y0", None)
 
     # Host fp64 view of the original data.
     K = problem.K
@@ -199,7 +288,7 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
     s1 = solve_fn(
         problem, base.replace(tol=coarse_tol), dtype=jnp.float32,
         time_used=time_used, log_history=log_history,
-        checkpoint_path=checkpoint_path, resume=resume, **kw,
+        checkpoint_path=checkpoint_path, resume=resume, x0=x0, y0=y0, **kw,
     )
     if s1.status != Status.SOLVED:
         # Certificates / budget exhaustion are terminal as-is.
@@ -250,17 +339,46 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
     best = None  # (score, xh, yh, res)
     stall = 0
     res = None
+
+    def _score(r):
+        return (
+            r.primal_res / (1 + q_norm)
+            + r.dual_res / (1 + c_norm)
+            + abs(r.gap) / (1 + abs(r.prim_obj) + abs(r.adjusted_dual))
+        )
+
     for rnd in range(cfg.refine_max_rounds):
         np.clip(xh, l, u, out=xh)  # PDHG keeps iterates in the box; keep
         yh[:m_ineq] = np.maximum(yh[:m_ineq], 0.0)  # the fp64 sum there too
         res = host_residuals(K64, c, q, l, u, m_ineq, xh, yh)
         j_total += 1  # the host SpMV pair above is one KKT pass of work
-        score = (
-            res.primal_res / (1 + q_norm)
-            + res.dual_res / (1 + c_norm)
-            + abs(res.gap)
-            / (1 + abs(res.prim_obj) + abs(res.adjusted_dual))
-        )
+        score = _score(res)
+
+        # ---- crossover-style active-set polish (host fp64, guarded).
+        # Tried each round once the incumbent is in refinement territory;
+        # each candidate (joint and per-side folds, two identification
+        # thresholds) is accepted only if the honest combined score
+        # improves, so a misidentified active set costs one rejected
+        # attempt and nothing else. ----
+        if cfg.refine_polish and res.primal_res <= 1e-3 * (1.0 + q_norm):
+            for eps_rel in (1e-5, 1e-7):
+                x_c, y_c, mv = _active_set_polish(
+                    K64, c, q, l, u, m_ineq, xh, yh, res, q_norm, c_norm,
+                    cfg.tol, eps_rel=eps_rel,
+                )
+                j_total += (mv + 1) // 2
+                cand_best = None
+                for xx, yy in ((x_c, y_c), (x_c, yh), (xh, y_c)):
+                    r2 = host_residuals(K64, c, q, l, u, m_ineq, xx, yy)
+                    j_total += 1
+                    s2 = _score(r2)
+                    if cand_best is None or s2 < cand_best[0]:
+                        cand_best = (s2, xx, yy, r2)
+                if cand_best[0] < score:
+                    score, xh, yh, res = cand_best
+                    if _terminated(res, q_norm, c_norm, cfg.tol,
+                                   cfg.abs_gap_termination):
+                        break  # certified; the check below returns
         if history is not None:
             history.append({
                 "refine_round": rnd, "j": j_total,
@@ -529,10 +647,7 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
     j_total += 1
     if _terminated(res, q_norm, c_norm, cfg.tol, cfg.abs_gap_termination):
         return _result(res, Status.SOLVED)
-    if best is not None and best[0] < (
-        res.primal_res / (1 + q_norm) + res.dual_res / (1 + c_norm)
-        + abs(res.gap) / (1 + abs(res.prim_obj) + abs(res.adjusted_dual))
-    ):
+    if best is not None and best[0] < _score(res):
         _, xh, yh, res = best
     timed_out = time.perf_counter() - start + time_used >= cfg.time_limit
     return _result(res, Status.TIME_LIMIT if timed_out else Status.KKT_LIMIT)
