@@ -668,3 +668,45 @@ def test_same_column_singleton_battery_dual_exact(backend):
         assert dual_violation(p, x, y) < 1e-5
         checked += 1
     assert checked >= 20  # the battery must actually exercise the path
+
+
+@pytest.mark.parametrize("backend", ["python", "cpp"])
+@pytest.mark.parametrize(
+    "name,c,K,q,m_ineq",
+    [
+        # Two dual-absorbing singleton rows on the SAME column removed in
+        # one pass batch (advisor r2 scenario).  The reverse sweep is
+        # safe by construction: each entry's column snapshot is taken at
+        # pass START, so same-batch rows appear in EACH OTHER's
+        # snapshots.  The latest-pushed entry is processed first and
+        # absorbs the full remaining reduced cost (the other row's dual
+        # is still the correct all-else-zero state); the earlier entry
+        # then subtracts the now-assigned dual from its lambda_j, which
+        # telescopes its own share to exactly zero — never double-counted.
+        ("eq+ineq", [5, 1], [[1, 0], [0, 1], [1, 0]], [2, 1, 2], 2),
+        ("two-ineq", [5, 1], [[1, 0], [2, 0], [0, 1]], [2, 4, 1], 3),
+        ("neg-cost", [-5, 1], [[-1, 0], [-2, 0], [0, 1]], [-2, -4, 1], 3),
+        ("two-eq", [5, 1], [[0, 1], [1, 0], [2, 0]], [1, 2, 4], 1),
+    ],
+)
+def test_same_column_singleton_batch_duals_exact(backend, name, c, K, q,
+                                                 m_ineq):
+    from tests.oracles import dual_violation
+    from tpdlp.presolve import postsolve_dual
+
+    inf = np.inf
+    p = _lp(c, K, q, m_ineq, [0, 0], [inf, inf])
+    o = solve_oracle(p)
+    r = presolve(p, backend=backend)
+    assert r.rows_removed == 3  # every row is absorbed by the batch
+    if r.status == Status.RUNNING:
+        s = solve(r.problem, SolverConfig(tol=1e-9,
+                                          abs_gap_termination=True))
+        x = postsolve(np.asarray(s.x), r.data)
+        y = postsolve_dual(np.asarray(s.y), x, r.data)
+    else:
+        assert r.status == Status.SOLVED
+        x = postsolve(np.zeros(0), r.data)
+        y = postsolve_dual(np.zeros(0), x, r.data)
+    assert float(p.c @ x) == pytest.approx(o.fun, abs=1e-9)
+    assert dual_violation(p, x, y) == pytest.approx(0.0, abs=1e-12)
