@@ -35,3 +35,38 @@ def test_warm_start_solves():
     r_cold = solve(p, cfg)
     assert r_warm.status == Status.SOLVED
     np.testing.assert_allclose(r_warm.objective, r_cold.objective, rtol=1e-4)
+
+
+def test_cli_fishnet_sparse_does_not_densify(tmp_path, monkeypatch, capsys):
+    """--fishnet --matrix_format sparse routes through the solve-path
+    operator (verdict r2 item 8): to_device_arrays (the dense staging
+    helper) must never be called — a sparse-only-sized instance would OOM
+    there — and the sweep must still solve via the fishnet warm start."""
+    import tpdlp.cli.main as cli
+    import tpdlp.problem as problem_mod
+    from tpdlp import write_mps
+
+    p = generate_feasible_lp(n=30, m_ineq=20, m_eq=5, seed=3, density=0.2)
+    write_mps(p, str(tmp_path / "inst.mps"))
+
+    def boom(*a, **k):
+        raise AssertionError("fishnet densified: to_device_arrays called")
+
+    monkeypatch.setattr(problem_mod, "to_device_arrays", boom)
+    # solve()'s dense path imports the symbol by module attribute too
+    # (tpdlp.solver.solve the ATTRIBUTE is the function; fetch the module).
+    import importlib
+
+    solve_mod = importlib.import_module("tpdlp.solver.solve")
+    monkeypatch.setattr(solve_mod, "to_device_arrays", boom)
+    out = tmp_path / "out"
+    cli.main([
+        "--instance_path", str(tmp_path), "--output_path", str(out),
+        "--tolerance", "1e-6", "--fishnet", "--matrix_format", "sparse",
+        "--device", "cpu",
+    ])
+    import csv
+
+    with open(out / "solver_results.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert rows and all("Solved" in r["Status"] for r in rows)

@@ -226,12 +226,20 @@ def main(argv=None):
                 import jax as _jax
 
                 from tpdlp.fishnet import spectral_cast
-                from tpdlp.problem import to_device_arrays
                 from tpdlp.scaling.ruiz import scale_problem
+                from tpdlp.solver.solve import build_device_operator
 
                 t0 = time.perf_counter()
                 dt = dtype if dtype is not None else default_dtype()
-                op, c, q, l, u = to_device_arrays(problem, dt)
+                # Same layout the solve will use (fishnet only needs the
+                # LinOp mm/rmm interface): --fishnet --matrix_format
+                # sparse/band must not densify a sparse-only-sized
+                # instance (verdict r2 item 8).
+                op, c, q, l, u = build_device_operator(
+                    problem, dt,
+                    args.matrix_format
+                    or ("auto" if args.support_sparse else "dense"),
+                )
                 # Reference parity: the fishnet searches the SCALED problem
                 # (PDLP/main.py:106-120); the chosen point is mapped back to
                 # the original frame, which is solve()'s warm-start contract.

@@ -318,6 +318,51 @@ def _f64_guard(elems: int, dtype, what: str):
         )
 
 
+def build_device_operator(problem, dtype, matrix_format: str = "dense"):
+    """Single-device operator + c/q/l/u for the chosen layout.
+
+    The one host->device staging point shared by `solve()` and the CLI
+    fishnet path (which must respect --matrix_format rather than densify:
+    fishnet only needs the LinOp mm/rmm interface).  Non-dense layouts
+    build the operator FIRST and never materialise the dense matrix — the
+    sparse path exists precisely for instances whose dense form does not
+    fit HBM.
+    """
+    if matrix_format == "dense":
+        return to_device_arrays(problem, dtype)
+    import scipy.sparse as sp
+
+    from tpdlp.ops.autotune import choose_operator
+    from tpdlp.ops.sparse import SparseOp
+
+    if matrix_format == "sparse":
+        K_sp = (
+            problem.K.tocsr()
+            if sp.issparse(problem.K)
+            else sp.csr_matrix(problem.K)
+        )
+        op = SparseOp.from_scipy(K_sp, dtype)
+    elif matrix_format == "band":
+        from tpdlp.ops.band import BandOp
+
+        op = BandOp.from_scipy(problem.K, dtype)
+        if op is None:
+            raise ValueError(
+                "matrix_format='band': K is not band-like (some "
+                "row-group's column span exceeds the window "
+                "budget); use 'auto' or 'sparse'"
+            )
+    elif matrix_format == "auto":
+        op, _ = choose_operator(problem.K, dtype)
+    else:
+        raise ValueError(f"unknown matrix_format: {matrix_format!r}")
+    c = jnp.asarray(problem.c, dtype)
+    q = jnp.asarray(problem.q, dtype)
+    l = jnp.asarray(problem.l, dtype)
+    u = jnp.asarray(problem.u, dtype)
+    return op, c, q, l, u
+
+
 def _solve_escalated(problem, cfg: SolverConfig, **kw):
     """Two-stage precision escalation (accelerator path for tol < 1e-6).
 
@@ -596,44 +641,10 @@ def solve(
             q = jnp.asarray(problem.q, dtype)
             l = jnp.asarray(problem.l, dtype)
             u = jnp.asarray(problem.u, dtype)
-        elif matrix_format == "dense":
-            op, c, q, l, u = to_device_arrays(problem, dtype)
         else:
-            # Build the operator FIRST and never materialise the dense
-            # matrix: the sparse path exists precisely for instances whose
-            # dense form does not fit HBM.
-            import scipy.sparse as sp
-
-            from tpdlp.ops.autotune import choose_operator
-            from tpdlp.ops.sparse import SparseOp
-
-            if matrix_format == "sparse":
-                K_sp = (
-                    problem.K.tocsr()
-                    if sp.issparse(problem.K)
-                    else sp.csr_matrix(problem.K)
-                )
-                op = SparseOp.from_scipy(K_sp, dtype)
-            elif matrix_format == "band":
-                from tpdlp.ops.band import BandOp
-
-                op = BandOp.from_scipy(problem.K, dtype)
-                if op is None:
-                    raise ValueError(
-                        "matrix_format='band': K is not band-like (some "
-                        "row-group's column span exceeds the window "
-                        "budget); use 'auto' or 'sparse'"
-                    )
-            elif matrix_format == "auto":
-                op, _ = choose_operator(problem.K, dtype)
-            else:
-                raise ValueError(
-                    f"unknown matrix_format: {matrix_format!r}"
-                )
-            c = jnp.asarray(problem.c, dtype)
-            q = jnp.asarray(problem.q, dtype)
-            l = jnp.asarray(problem.l, dtype)
-            u = jnp.asarray(problem.u, dtype)
+            op, c, q, l, u = build_device_operator(
+                problem, dtype, matrix_format
+            )
         if cache_key is not None:
             # Store a copy for the same donation reason as above.
             op_cache[cache_key] = jax.tree_util.tree_map(jnp.copy, op)
