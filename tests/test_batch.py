@@ -128,3 +128,78 @@ def test_batch_halpern_scheme():
             assert r.status == Status.SOLVED, (sync, p.name, r.status_string)
             np.testing.assert_allclose(r.objective, o.fun, rtol=1e-3,
                                        atol=1e-3)
+
+
+def _perturbed_fleet(base, B, seed=0, perturb_q=True):
+    import dataclasses
+
+    rng = np.random.default_rng(seed)
+    fleet = []
+    for _ in range(B):
+        kw = {"c": base.c * (1 + 0.1 * rng.standard_normal(base.n))}
+        if perturb_q:
+            kw["q"] = base.q + 0.05 * rng.standard_normal(base.m)
+        fleet.append(dataclasses.replace(base, **kw))
+    return fleet
+
+
+def test_batch_shared_operator_matches_dense_and_oracle():
+    """Perturbed fleet (same K): the shared-operator path must give the
+    SAME trajectories as the per-element dense stack (one operator + the
+    same scaling diagonals => identical math), at a fraction of the HBM."""
+    base = generate_feasible_lp(n=40, m_ineq=25, m_eq=8, seed=3,
+                                density=0.3)
+    fleet = _perturbed_fleet(base, 5)
+    cfg = SolverConfig(tol=1e-6, max_kkt=100_000, scaling="ruiz")
+    rs = solve_batch(fleet, cfg, shared_operator="auto")
+    rd = solve_batch(fleet, cfg, shared_operator=False)
+    for p, a, b in zip(fleet, rs, rd):
+        o = solve_oracle(p)
+        assert a.status == Status.SOLVED
+        np.testing.assert_allclose(a.objective, o.fun, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(a.objective, b.objective, rtol=1e-9)
+        assert a.iterations == b.iterations  # same math, same trajectory
+
+
+@pytest.mark.parametrize("fmt", ["sparse", "auto"])
+def test_batch_shared_operator_sparse_layouts(fmt):
+    base = generate_feasible_lp(n=48, m_ineq=30, m_eq=10, seed=4,
+                                density=0.25)
+    fleet = _perturbed_fleet(base, 4, seed=1)
+    cfg = SolverConfig(tol=1e-6, max_kkt=100_000, scaling="ruiz")
+    rs = solve_batch(fleet, cfg, matrix_format=fmt)
+    for p, r in zip(fleet, rs):
+        o = solve_oracle(p)
+        assert r.status == Status.SOLVED
+        np.testing.assert_allclose(r.objective, o.fun, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("sync", ["element", "global"])
+def test_batch_shared_operator_band_fleet(sync):
+    """Band-layout fleet: one band operator shared across the batch
+    (verdict r2 item 6 — a band fleet could not use the band layout at
+    all under the dense-only stack)."""
+    from tpdlp import generate_banded_lp
+
+    base = generate_banded_lp(n=256, m_ineq=128, m_eq=64, bandwidth=9,
+                              seed=7)
+    fleet = _perturbed_fleet(base, 4, seed=2, perturb_q=False)
+    cfg = SolverConfig(tol=1e-6, max_kkt=100_000, scaling="ruiz")
+    rs = solve_batch(fleet, cfg, matrix_format="band", restart_sync=sync)
+    for p, r in zip(fleet, rs):
+        o = solve_oracle(p)
+        assert r.status == Status.SOLVED
+        np.testing.assert_allclose(r.objective, o.fun, rtol=5e-3, atol=5e-3)
+
+
+def test_batch_shared_operator_validation():
+    problems = [
+        generate_feasible_lp(n=20, m_ineq=12, m_eq=4, seed=s)
+        for s in range(2)
+    ]
+    with pytest.raises(ValueError, match="constraint"):
+        solve_batch(problems, SolverConfig(tol=1e-4),
+                    shared_operator=True)
+    with pytest.raises(ValueError, match="dense-only"):
+        solve_batch(problems, SolverConfig(tol=1e-4),
+                    matrix_format="sparse")

@@ -20,6 +20,7 @@ terminates or the shared KKT budget is exhausted.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import time
 from typing import Sequence
@@ -31,7 +32,13 @@ import scipy.sparse as sp
 
 from tpdlp.config import SolverConfig, Status
 from tpdlp.ops.dense import DenseOp
-from tpdlp.problem import LPProblem, device_problem, triplet_transfer_wins
+from tpdlp.problem import (
+    DeviceProblem,
+    LPProblem,
+    _zeroed_at_inf,
+    device_problem,
+    triplet_transfer_wins,
+)
 from tpdlp.scaling.ruiz import scale_problem
 from tpdlp.solver.loop import (
     final_eval,
@@ -43,10 +50,12 @@ from tpdlp.solver.solve import SolveResult, default_dtype, eta_omega_of
 from tpdlp.solver.state import init_state
 
 
-def _pad_stack(problems: Sequence[LPProblem], dtype):
+def _pad_stack(problems: Sequence[LPProblem], dtype, *, stack_K=True):
     """Stack padded problem data; K is densified ON DEVICE from COO
     triplets when sparse enough (shipping 16 bytes/nnz instead of the
-    (B, m, n) dense stack — a 100x+ transfer saving on remote backends)."""
+    (B, m, n) dense stack — a 100x+ transfer saving on remote backends).
+    `stack_K=False` (shared-operator batches) skips the K stack entirely
+    and returns None in its place."""
     m_max = max(p.m for p in problems)
     n_max = max(p.n for p in problems)
     B = len(problems)
@@ -57,14 +66,17 @@ def _pad_stack(problems: Sequence[LPProblem], dtype):
     mask = np.ones((B, m_max), dtype=bool)  # padded rows: inequality
     coos = []
     for i, p in enumerate(problems):
-        coos.append(
-            p.K.tocoo() if sp.issparse(p.K) else sp.coo_matrix(p.K)
-        )
+        if stack_K:
+            coos.append(
+                p.K.tocoo() if sp.issparse(p.K) else sp.coo_matrix(p.K)
+            )
         c[i, : p.n] = p.c
         q[i, : p.m] = p.q
         l[i, : p.n] = p.l
         u[i, : p.n] = p.u
         mask[i, : p.m] = np.arange(p.m) < p.m_ineq
+    if not stack_K:
+        return None, c, q, l, u, mask
 
     nnz_total = sum(co.nnz for co in coos)
     if triplet_transfer_wins(
@@ -87,6 +99,140 @@ def _pad_stack(problems: Sequence[LPProblem], dtype):
             Kh[i, : co.shape[0], : co.shape[1]] = co.toarray()
         K = jnp.asarray(Kh)
     return K, c, q, l, u, mask
+
+
+def _pb_axes(pbs):
+    """vmap in_axes tree for a shared-operator batch: vector data is
+    batched (axis 0), the operator and its scaling diagonals are shared
+    (broadcast)."""
+    ax = jax.tree.map(lambda _: 0, pbs)
+    return dataclasses.replace(ax, op=None, d_row=None, d_col=None)
+
+
+def _pb_is_shared(pbs) -> bool:
+    return pbs.d_col.ndim == 1
+
+
+def _pb_take(pbs, sel):
+    """Index the batch axis, layout-aware: shared-operator batches index
+    only the vector leaves (the operator has no batch axis)."""
+    if not _pb_is_shared(pbs):
+        return jax.tree.map(lambda a: a[sel], pbs)
+    keep = {"op", "d_row", "d_col"}
+    return dataclasses.replace(
+        pbs,
+        **{
+            f.name: getattr(pbs, f.name)[sel]
+            for f in dataclasses.fields(pbs)
+            if f.name not in keep
+        },
+    )
+
+
+def _shared_K(problems: Sequence[LPProblem]) -> bool:
+    """True when every instance has the SAME constraint matrix — the
+    perturbed-fleet case (c/q/l/u vary, K fixed).  Identity is checked
+    first; structural equality only when the total comparison cost is
+    modest."""
+    K0 = problems[0].K
+    sp0 = sp.issparse(K0)
+    nnz0 = K0.nnz if sp0 else K0.size
+    if nnz0 * len(problems) > 5 * 10**8:
+        return all(p.K is K0 for p in problems[1:])
+    C0 = K0.tocsr() if sp0 else np.asarray(K0)
+    if sp0:
+        C0.sum_duplicates()
+    for p in problems[1:]:
+        K = p.K
+        if K is K0:
+            continue
+        if sp.issparse(K) != sp0 or K.shape != K0.shape:
+            return False
+        if sp0:
+            C = K.tocsr()
+            C.sum_duplicates()
+            if (
+                C.nnz != C0.nnz
+                or not np.array_equal(C.indptr, C0.indptr)
+                or not np.array_equal(C.indices, C0.indices)
+                or not np.array_equal(C.data, C0.data)
+            ):
+                return False
+        elif not np.array_equal(np.asarray(K), C0):
+            return False
+    return True
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _shared_init(op, c, q, l, u, mask, key, cfg: SolverConfig):
+    """Build the shared-operator batch: ONE scaled operator + batched
+    vector data.
+
+    Ruiz / Pock-Chambolle diagonals depend only on K, so the fleet shares
+    op_s, d_row, d_col and the spectral-norm power iteration; per-element
+    state is vectors only.  Each PDHG iteration's per-element SpMV pair
+    then fuses into one operator-times-matrix product (matrix-matrix
+    PDHG), and HBM holds ONE operator instead of a (B, m, n) stack."""
+    op_s, _, _, _, _, d_row, d_col = scale_problem(
+        op, c[0], q[0], l[0], u[0],
+        method=cfg.scaling,
+        ruiz_iters=cfg.ruiz_iters,
+        ruiz_eps=cfg.ruiz_eps,
+        pc_alpha=cfg.pock_chambolle_alpha,
+    )
+    scaled = cfg.scaling != "none"
+    if scaled:
+        c_s = c * d_col
+        q_s = q * d_row
+        l_s = l / d_col
+        u_s = u / d_col
+    else:
+        c_s, q_s, l_s, u_s = c, q, l, u
+    is_neg_inf = jnp.isneginf(l_s)
+    is_pos_inf = jnp.isposinf(u_s)
+    if cfg.compat_scaled_norms:
+        q_norm_term = jnp.linalg.norm(q_s, axis=-1)
+        c_norm_term = jnp.linalg.norm(c_s, axis=-1)
+    else:
+        q_norm_term = jnp.linalg.norm(q, axis=-1)
+        c_norm_term = jnp.linalg.norm(c, axis=-1)
+    pbs = DeviceProblem(
+        op=op_s,
+        c=c_s,
+        q=q_s,
+        l=l_s,
+        u=u_s,
+        ineq_mask=mask,
+        is_neg_inf=is_neg_inf,
+        is_pos_inf=is_pos_inf,
+        l_dual=_zeroed_at_inf(l_s, is_neg_inf),
+        u_dual=_zeroed_at_inf(u_s, is_pos_inf),
+        d_row=d_row,
+        d_col=d_col,
+        c0=c,
+        q0=q,
+        l0_dual=_zeroed_at_inf(l, is_neg_inf),
+        u0_dual=_zeroed_at_inf(u, is_pos_inf),
+        q_norm_term=q_norm_term,
+        c_norm_term=c_norm_term,
+    )
+    # Shared eta (power iteration on the one operator); per-element omega
+    # from the scaled c/q norm ratio (eta_omega_of's rule, vectorized).
+    from tpdlp.solver.power_iteration import spectral_norm_estimate
+
+    eta0 = cfg.eta_safety / spectral_norm_estimate(
+        op_s, key, cfg.power_iters
+    )
+    c_norm = jnp.linalg.norm(c_s, axis=-1)
+    q_norm = jnp.linalg.norm(q_s, axis=-1)
+    omega0 = jnp.where(
+        (q_norm > 1e-6) & (c_norm > 1e-6), c_norm / q_norm,
+        jnp.ones_like(c_norm),
+    )
+    sts = jax.vmap(
+        lambda p, om: init_state(p, eta0, om), in_axes=(_pb_axes(pbs), 0)
+    )(pbs, omega0)
+    return pbs, sts
 
 
 def _build_one(K, c, q, l, u, mask, key, *, cfg: SolverConfig):
@@ -125,8 +271,9 @@ def _batch_init(K, c, q, l, u, mask, keys, cfg: SolverConfig):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _batch_chunk(sts, pbs, j_budget, cfg: SolverConfig):
+    ax = _pb_axes(pbs) if _pb_is_shared(pbs) else 0
     return jax.vmap(
-        lambda s, p: run_chunk_impl(s, p, j_budget, cfg)
+        lambda s, p: run_chunk_impl(s, p, j_budget, cfg), in_axes=(0, ax)
     )(sts, pbs)
 
 
@@ -146,16 +293,19 @@ def _batch_chunk_sync(sts, pbs, j_budget, cfg: SolverConfig):
     # Per-element budget gate: elements whose j already reached the budget
     # hold their state (matching element mode's per-element cap) instead of
     # overshooting while slower elements catch up.
+    ax = _pb_axes(pbs) if _pb_is_shared(pbs) else 0
     step = jax.vmap(
         lambda s, p: jax.lax.cond(
             s.j < j_budget,
             make_body(p, cfg, include_restart=False),
             lambda x: x,
             s,
-        )
+        ),
+        in_axes=(0, ax),
     )
     restart = jax.vmap(
-        lambda s, p: restart_check_gated(p, cfg, s, j_budget=j_budget)
+        lambda s, p: restart_check_gated(p, cfg, s, j_budget=j_budget),
+        in_axes=(0, ax),
     )
 
     def cond(carry):
@@ -189,7 +339,8 @@ def _batch_final(sts, pbs, cfg: SolverConfig):
             s,
         )
 
-    return jax.vmap(one)(sts, pbs)
+    ax = _pb_axes(pbs) if _pb_is_shared(pbs) else 0
+    return jax.vmap(one, in_axes=(0, ax))(sts, pbs)
 
 
 def _gather_results(sts, pbs, idx, cfg):
@@ -197,8 +348,12 @@ def _gather_results(sts, pbs, idx, cfg):
     sel = jnp.asarray(np.asarray(idx, np.int32))
     use_prev = cfg.step_scheme == "halpern"
     # Index first: |sel| x n work, not full-batch elementwise products.
-    x = pbs.d_col[sel] * (sts.x_prev if use_prev else sts.x)[sel]
-    y = pbs.d_row[sel] * (sts.y_prev if use_prev else sts.y)[sel]
+    # Shared-operator batches carry ONE (n,)/(m,) diagonal pair —
+    # broadcast instead of indexing.
+    d_col = pbs.d_col[sel] if pbs.d_col.ndim == 2 else pbs.d_col
+    d_row = pbs.d_row[sel] if pbs.d_row.ndim == 2 else pbs.d_row
+    x = d_col * (sts.x_prev if use_prev else sts.x)[sel]
+    y = d_row * (sts.y_prev if use_prev else sts.y)[sel]
     return jax.device_get((
         x, y, pbs.c0[sel],
         sts.status[sel], sts.k[sel], sts.n_restarts[sel], sts.j[sel],
@@ -220,8 +375,24 @@ def solve_batch(
     seed: int = 0,
     restart_sync: str = "element",
     compact: bool = True,
+    matrix_format: str = "dense",
+    shared_operator: str | bool = "auto",
 ) -> list[SolveResult]:
     """Solve a batch of LPs as one vmapped device program.
+
+    `shared_operator` ("auto" | True | False): when every instance has the
+    SAME constraint matrix (a perturbed fleet — c/q/l/u vary, K fixed),
+    the batch shares ONE operator: scaling diagonals and the spectral-norm
+    power iteration run once, HBM holds a single operator instead of a
+    (B, m, n) stack, and each iteration's per-element SpMV pair fuses into
+    one operator-times-matrix product.  "auto" detects the case; True
+    asserts it (error if matrices differ); False forces per-element dense.
+
+    `matrix_format` ("dense" | "sparse" | "band" | "auto"): operator
+    layout for the shared-operator path (any LinOp layout vmaps over the
+    batched vectors).  Per-element distinct-K batches support "dense"
+    only — stacked sparse layouts would need per-element padding to a
+    common pattern, which forfeits the layout's advantage.
 
     `restart_sync`:
     - "element" (default): each element fires its restart check on its own
@@ -255,16 +426,49 @@ def solve_batch(
 
     m_max = max(p.m for p in problems)
     n_max = max(p.n for p in problems)
-    _f64_guard(
-        len(problems) * m_max * n_max, dtype,
-        f"a {len(problems)} x {m_max} x {n_max} LP batch",
-    )
-    K, c, q, l, u, mask = _pad_stack(problems, np_dtype)
-    keys = jax.random.split(jax.random.PRNGKey(seed), len(problems))
-    pbs, sts = _batch_init(
-        jnp.asarray(K), jnp.asarray(c), jnp.asarray(q), jnp.asarray(l),
-        jnp.asarray(u), jnp.asarray(mask), keys, cfg,
-    )
+    if shared_operator not in ("auto", True, False):
+        raise ValueError(f"unknown shared_operator: {shared_operator!r}")
+    if isinstance(shared_operator, bool):
+        shared = shared_operator
+        if shared and not _shared_K(problems):
+            raise ValueError(
+                "shared_operator=True but the instances' constraint "
+                "matrices differ; use shared_operator='auto' or False"
+            )
+    else:
+        shared = len(problems) > 1 and _shared_K(problems)
+    if not shared and matrix_format != "dense":
+        raise ValueError(
+            f"matrix_format={matrix_format!r} requires a shared-operator "
+            "batch (identical K across instances); per-element distinct-K "
+            "batches are dense-only"
+        )
+    if shared:
+        from tpdlp.solver.solve import build_device_operator
+
+        # One operator, chosen layout; B x (m+n) vector state.
+        _f64_guard(
+            m_max * n_max + len(problems) * (m_max + n_max), dtype,
+            f"a shared-K {len(problems)} x ({m_max} x {n_max}) LP batch",
+        )
+        _, c, q, l, u, mask = _pad_stack(problems, np_dtype, stack_K=False)
+        op0, *_ = build_device_operator(problems[0], dtype, matrix_format)
+        key = jax.random.PRNGKey(seed)
+        pbs, sts = _shared_init(
+            op0, jnp.asarray(c), jnp.asarray(q), jnp.asarray(l),
+            jnp.asarray(u), jnp.asarray(mask), key, cfg,
+        )
+    else:
+        _f64_guard(
+            len(problems) * m_max * n_max, dtype,
+            f"a {len(problems)} x {m_max} x {n_max} LP batch",
+        )
+        K, c, q, l, u, mask = _pad_stack(problems, np_dtype)
+        keys = jax.random.split(jax.random.PRNGKey(seed), len(problems))
+        pbs, sts = _batch_init(
+            jnp.asarray(K), jnp.asarray(c), jnp.asarray(q), jnp.asarray(l),
+            jnp.asarray(u), jnp.asarray(mask), keys, cfg,
+        )
 
     chunk = cfg.chunk_kkt_init
     chunk_fn = (
@@ -312,7 +516,7 @@ def solve_batch(
             sel = np.concatenate([run_idx, pad])
             sel_j = jnp.asarray(sel.astype(np.int32))
             sts = jax.tree.map(lambda a: a[sel_j], sts)
-            pbs = jax.tree.map(lambda a: a[sel_j], pbs)
+            pbs = _pb_take(pbs, sel_j)
             orig = orig[sel]
             js = js[sel]
             running = running[sel]
