@@ -70,3 +70,16 @@ def test_cli_fishnet_sparse_does_not_densify(tmp_path, monkeypatch, capsys):
     with open(out / "solver_results.csv") as f:
         rows = list(csv.DictReader(f))
     assert rows and all("Solved" in r["Status"] for r in rows)
+
+
+def test_fishnet_value_bench_smoke(capsys):
+    # The measured-value command (bench/fishnet_value.py) must run end to
+    # end and report hardware-independent iteration counts for both arms.
+    from tpdlp.bench import fishnet_value
+
+    rows = fishnet_value.main(["--classes", "small", "--tol", "1e-4"])
+    assert len(rows) == 3
+    for r in rows:
+        assert r["cold_status"] == "Solved"
+        assert r["warm_status"] == "Solved"
+        assert r["delta_k"] == r["cold_k"] - r["warm_k"]
