@@ -22,13 +22,60 @@ The raw fused-loop kernel rate is printed to stderr as a secondary line.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 
 TOL = 1e-4
 MAX_KKT = 100_000
 
+#: Generous for a cold remote compile of the tiny probe program; a down
+#: tunnel hangs forever without this.
+_PROBE_TIMEOUT_S = 150
+
+
+def _accelerator_responds() -> bool:
+    """True iff the configured accelerator answers a tiny dispatch.
+
+    Probed in a SUBPROCESS with a hard timeout: when the remote-tunnel
+    TPU is down, jax.devices()/the first dispatch can block indefinitely
+    (and not just raise), which would hang the whole benchmark run.
+    """
+    if os.environ.get("JAX_PLATFORMS", "") in ("cpu", ""):
+        return False
+    code = (
+        "import jax\n"
+        "d = jax.devices()\n"
+        "assert d and d[0].platform != 'cpu', d\n"
+        "jax.numpy.ones(8).sum().block_until_ready()\n"
+        "print('PROBE_OK')\n"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=_PROBE_TIMEOUT_S,
+        )
+        return "PROBE_OK" in out.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
 
 def main():
+    platform = "accelerator"
+    if not _accelerator_responds():
+        # Fall back to XLA CPU so the benchmark still produces an honest
+        # (flagged) number instead of hanging; the axon plugin may already
+        # be registered by sitecustomize, so force the platform in-config.
+        print(
+            "[bench] accelerator unresponsive — falling back to XLA CPU "
+            "(result flagged platform=cpu-fallback)",
+            file=sys.stderr,
+        )
+        platform = "cpu-fallback"
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from tpdlp.bench.runner import run_ours
     from tpdlp.bench.reference_runner import run_reference
     from tpdlp.bench.suite import build_suite
@@ -79,6 +126,7 @@ def main():
         "value": round(ours["iters_per_sec"], 1),
         "unit": "iter/s",
         "vs_baseline": round(vs, 3) if vs else None,
+        "platform": platform,
     }))
 
 
