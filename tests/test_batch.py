@@ -200,6 +200,63 @@ def test_batch_shared_operator_validation():
     with pytest.raises(ValueError, match="constraint"):
         solve_batch(problems, SolverConfig(tol=1e-4),
                     shared_operator=True)
-    with pytest.raises(ValueError, match="dense-only"):
+    with pytest.raises(ValueError, match="distinct-K"):
         solve_batch(problems, SolverConfig(tol=1e-4),
                     matrix_format="sparse")
+
+
+def test_batch_distinct_band_fleet_matches_single_solves():
+    """DISTINCT banded matrices as one stacked band-slab fleet (beyond
+    the shared-operator case: each element has its own K)."""
+    from tpdlp import generate_banded_lp, solve
+
+    problems = [
+        generate_banded_lp(n=256, m_ineq=128, m_eq=64, bandwidth=9,
+                           seed=s)
+        for s in (1, 2, 3)
+    ]
+    cfg = SolverConfig(tol=1e-6, max_kkt=100_000, scaling="ruiz")
+    batch = solve_batch(problems, cfg, matrix_format="band",
+                        shared_operator=False)
+    for p, rb in zip(problems, batch):
+        o = solve_oracle(p)
+        assert rb.status == Status.SOLVED, rb.status_string
+        np.testing.assert_allclose(rb.objective, o.fun, rtol=1e-3,
+                                   atol=1e-3)
+        rs = solve(p, cfg, matrix_format="band")
+        np.testing.assert_allclose(rb.objective, rs.objective, rtol=1e-5)
+
+
+def test_batch_distinct_band_fleet_ragged_shapes():
+    """Smaller instances pad into the common slab stack exactly."""
+    from tpdlp import generate_banded_lp
+
+    problems = [
+        generate_banded_lp(n=256, m_ineq=128, m_eq=64, bandwidth=9,
+                           seed=4),
+        generate_banded_lp(n=192, m_ineq=96, m_eq=48, bandwidth=7,
+                           seed=5),
+    ]
+    cfg = SolverConfig(tol=1e-6, max_kkt=100_000, scaling="ruiz")
+    batch = solve_batch(problems, cfg, matrix_format="band",
+                        shared_operator=False)
+    for p, rb in zip(problems, batch):
+        o = solve_oracle(p)
+        assert rb.status == Status.SOLVED, rb.status_string
+        np.testing.assert_allclose(rb.objective, o.fun, rtol=1e-3,
+                                   atol=1e-3)
+        assert rb.x.shape == (p.n,)
+
+
+def test_batch_distinct_band_rejects_unbanded():
+    # Random dense rows over 2600 columns: some 128-row group's window
+    # exceeds BandOp.MAX_WINDOW, so the layout build must bail with a
+    # clear error naming the instance (before any device work).
+    problems = [
+        generate_feasible_lp(n=2600, m_ineq=40, m_eq=8, seed=s,
+                             density=0.5)
+        for s in (1, 2)
+    ]
+    with pytest.raises(ValueError, match="band-like"):
+        solve_batch(problems, SolverConfig(tol=1e-4),
+                    matrix_format="band", shared_operator=False)

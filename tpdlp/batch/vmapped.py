@@ -237,7 +237,12 @@ def _shared_init(op, c, q, l, u, mask, key, cfg: SolverConfig):
 
 def _build_one(K, c, q, l, u, mask, key, *, cfg: SolverConfig):
     """Per-element pipeline: scale -> DeviceProblem -> init state."""
-    op = DenseOp(K)
+    return _build_one_op(DenseOp(K), c, q, l, u, mask, key, cfg=cfg)
+
+
+def _build_one_op(op, c, q, l, u, mask, key, *, cfg: SolverConfig):
+    """`_build_one` over an already-built per-element operator (any LinOp
+    layout whose leaves carry the vmapped batch axis)."""
     op_s, c_s, q_s, l_s, u_s, d_row, d_col = scale_problem(
         op, c, q, l, u,
         method=cfg.scaling,
@@ -267,6 +272,84 @@ def _batch_init(K, c, q, l, u, mask, keys, cfg: SolverConfig):
     return jax.vmap(
         lambda *a: _build_one(*a, cfg=cfg)
     )(K, c, q, l, u, mask, keys)
+
+
+def _band_stack(problems, dtype, np_dtype, m_max, n_max):
+    """Stack DISTINCT banded matrices into one common band-slab layout.
+
+    Every instance is zero-padded to (m_max, n_max) (same
+    exactness-preserving padding as the dense stack), built host-side
+    into the band-slab layout (`BandOp.from_scipy(host=True)`), and the
+    per-group windows are widened to the batch-max width WB so all
+    elements share one (B, G, 128, WB) slab array per direction.  A
+    group whose window would overrun the padded column count is shifted
+    left by whole 128-lane blocks, with its slab content moved right by
+    the same amount — the represented matrix is unchanged.
+
+    Returns ((fwd_slabs, fwd_starts), (bwd_slabs, bwd_starts)) as HOST
+    numpy arrays plus the padded (m, n); raises ValueError naming the
+    first instance whose matrix is not band-like.
+    """
+    from tpdlp.ops.band import LANES, BandOp
+
+    ops = []
+    for p in problems:
+        co = p.K.tocoo() if sp.issparse(p.K) else sp.coo_matrix(
+            np.asarray(p.K)
+        )
+        Kp = sp.coo_matrix(
+            (co.data, (co.row, co.col)), shape=(m_max, n_max)
+        )
+        op = BandOp.from_scipy(Kp, dtype, host=True)
+        if op is None:
+            raise ValueError(
+                f"matrix_format='band': instance "
+                f"{getattr(p, 'name', '?')!r} is not band-like at the "
+                f"padded shape ({m_max} x {n_max}); use matrix_format="
+                "'dense' for this fleet"
+            )
+        ops.append(op)
+
+    def stack(side):
+        mats = [getattr(o, side) for o in ops]
+        G, R, _ = mats[0].slabs.shape
+        WB = max(m_.slabs.shape[2] for m_ in mats)
+        n_pad = -(-mats[0].n // LANES) * LANES
+        slabs = np.zeros((len(mats), G, R, WB), np_dtype)
+        starts = np.zeros((len(mats), G), np.int32)
+        for i, m_ in enumerate(mats):
+            wb = m_.slabs.shape[2]
+            new_start = np.clip(m_.starts, 0, max(0, n_pad - WB))
+            shift = m_.starts - new_start  # >= 0, multiples of LANES
+            for g in range(G):
+                s = int(shift[g])
+                slabs[i, g, :, s:s + wb] = m_.slabs[g]
+            starts[i] = new_start
+        return slabs, starts
+
+    return stack("fwd"), stack("bwd")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "m_stack", "n_stack")
+)
+def _batch_init_band(
+    fs, fst, bs, bst, c, q, l, u, mask, keys, cfg: SolverConfig,
+    m_stack: int, n_stack: int,
+):
+    from tpdlp.ops.band import BandOp, _BandMat
+
+    def one(fs, fst, bs, bst, c, q, l, u, mask, key):
+        # use_pallas=False: the hand-written kernel is not vmappable; the
+        # XLA take+einsum path batches into MXU einsums.
+        op = BandOp(
+            _BandMat(fs, fst, m_stack, n_stack),
+            _BandMat(bs, bst, n_stack, m_stack),
+            use_pallas=False,
+        )
+        return _build_one_op(op, c, q, l, u, mask, key, cfg=cfg)
+
+    return jax.vmap(one)(fs, fst, bs, bst, c, q, l, u, mask, keys)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -391,8 +474,11 @@ def solve_batch(
     `matrix_format` ("dense" | "sparse" | "band" | "auto"): operator
     layout for the shared-operator path (any LinOp layout vmaps over the
     batched vectors).  Per-element distinct-K batches support "dense"
-    only — stacked sparse layouts would need per-element padding to a
-    common pattern, which forfeits the layout's advantage.
+    and "band" — distinct banded matrices stack into one common
+    (B, G, 128, WB) slab layout (windows widened to the batch max), so a
+    banded fleet pays band-layout HBM instead of (B, m, n) dense.
+    Unstructured per-element sparse stays unsupported: padding distinct
+    patterns to a common one forfeits the layout's advantage.
 
     `restart_sync`:
     - "element" (default): each element fires its restart check on its own
@@ -437,11 +523,12 @@ def solve_batch(
             )
     else:
         shared = len(problems) > 1 and _shared_K(problems)
-    if not shared and matrix_format != "dense":
+    if not shared and matrix_format not in ("dense", "band"):
         raise ValueError(
             f"matrix_format={matrix_format!r} requires a shared-operator "
             "batch (identical K across instances); per-element distinct-K "
-            "batches are dense-only"
+            "batches support 'dense' and 'band' (common slab shapes after "
+            "padding) only"
         )
     if shared:
         from tpdlp.solver.solve import build_device_operator
@@ -457,6 +544,24 @@ def solve_batch(
         pbs, sts = _shared_init(
             op0, jnp.asarray(c), jnp.asarray(q), jnp.asarray(l),
             jnp.asarray(u), jnp.asarray(mask), key, cfg,
+        )
+    elif matrix_format == "band":
+        # Distinct banded matrices, one common slab layout: HBM holds
+        # (B, G, 128, WB) slabs per direction instead of (B, m, n) dense.
+        (fs, fst), (bs, bst) = _band_stack(
+            problems, dtype, np_dtype, m_max, n_max
+        )
+        _f64_guard(
+            fs.size + bs.size, dtype,
+            f"a banded {len(problems)} x ({m_max} x {n_max}) LP batch",
+        )
+        _, c, q, l, u, mask = _pad_stack(problems, np_dtype, stack_K=False)
+        keys = jax.random.split(jax.random.PRNGKey(seed), len(problems))
+        pbs, sts = _batch_init_band(
+            jnp.asarray(fs), jnp.asarray(fst), jnp.asarray(bs),
+            jnp.asarray(bst), jnp.asarray(c), jnp.asarray(q),
+            jnp.asarray(l), jnp.asarray(u), jnp.asarray(mask), keys, cfg,
+            m_max, n_max,
         )
     else:
         _f64_guard(
