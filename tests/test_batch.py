@@ -248,6 +248,54 @@ def test_batch_distinct_band_fleet_ragged_shapes():
         assert rb.x.shape == (p.n,)
 
 
+def test_batch_distinct_auto_picks_band(monkeypatch):
+    """matrix_format='auto' on a distinct-K banded fleet routes through
+    the stacked band-slab path (and never errors)."""
+    from tpdlp import generate_banded_lp
+    from tpdlp.batch import vmapped
+
+    calls = []
+    real = vmapped._batch_init_band
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(vmapped, "_batch_init_band", spy)
+    # Big enough that the slab stack is materially smaller than dense
+    # (tiny instances pad groups to multiples of 8 and auto stays dense).
+    problems = [
+        generate_banded_lp(n=2048, m_ineq=1024, m_eq=512, bandwidth=33,
+                           seed=s)
+        for s in (6, 7)
+    ]
+    # Routing is the assertion, not convergence: tiny budget keeps it fast.
+    cfg = SolverConfig(tol=1e-6, max_kkt=400, scaling="ruiz")
+    rs = solve_batch(problems, cfg, matrix_format="auto",
+                     shared_operator=False)
+    assert calls, "auto did not route through the band stack"
+    assert all(
+        r.status in (Status.SOLVED, Status.KKT_LIMIT) for r in rs
+    )
+
+
+def test_batch_distinct_auto_falls_back_to_dense():
+    """'auto' on an unbanded distinct-K fleet silently uses dense."""
+    problems = [
+        generate_feasible_lp(n=2600, m_ineq=10, m_eq=4, seed=s,
+                             density=0.5)
+        for s in (3, 4)
+    ]
+    cfg = SolverConfig(tol=1e-4, max_kkt=60_000, scaling="ruiz")
+    rs = solve_batch(problems, cfg, matrix_format="auto",
+                     shared_operator=False)
+    for p, r in zip(problems, rs):
+        o = solve_oracle(p)
+        assert r.status == Status.SOLVED, r.status_string
+        np.testing.assert_allclose(r.objective, o.fun, rtol=1e-3,
+                                   atol=1e-3)
+
+
 def test_batch_distinct_band_rejects_unbanded():
     # Random dense rows over 2600 columns: some 128-row group's window
     # exceeds BandOp.MAX_WINDOW, so the layout build must bail with a

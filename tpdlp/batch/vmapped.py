@@ -477,8 +477,10 @@ def solve_batch(
     and "band" — distinct banded matrices stack into one common
     (B, G, 128, WB) slab layout (windows widened to the batch max), so a
     banded fleet pays band-layout HBM instead of (B, m, n) dense.
-    Unstructured per-element sparse stays unsupported: padding distinct
-    patterns to a common one forfeits the layout's advantage.
+    "auto" on a distinct-K fleet picks band when every instance is
+    band-like and the slab stack is materially smaller than dense, else
+    dense.  Unstructured per-element sparse stays unsupported: padding
+    distinct patterns to a common one forfeits the layout's advantage.
 
     `restart_sync`:
     - "element" (default): each element fires its restart check on its own
@@ -523,12 +525,30 @@ def solve_batch(
             )
     else:
         shared = len(problems) > 1 and _shared_K(problems)
+    if not shared and matrix_format == "auto":
+        # Auto for distinct-K fleets: stacked band-slab when every
+        # instance is band-like AND the slab stack is materially smaller
+        # than the dense stack; dense otherwise.
+        try:
+            band_probe = _band_stack(problems, dtype, np_dtype, m_max,
+                                     n_max)
+            slab_elems = band_probe[0][0].size + band_probe[1][0].size
+            matrix_format = (
+                "band"
+                if slab_elems < 0.5 * len(problems) * m_max * n_max
+                else "dense"
+            )
+        except ValueError:
+            band_probe = None
+            matrix_format = "dense"
+    else:
+        band_probe = None
     if not shared and matrix_format not in ("dense", "band"):
         raise ValueError(
             f"matrix_format={matrix_format!r} requires a shared-operator "
             "batch (identical K across instances); per-element distinct-K "
-            "batches support 'dense' and 'band' (common slab shapes after "
-            "padding) only"
+            "batches support 'dense', 'band' (common slab shapes after "
+            "padding) and 'auto' only"
         )
     if shared:
         from tpdlp.solver.solve import build_device_operator
@@ -548,7 +568,7 @@ def solve_batch(
     elif matrix_format == "band":
         # Distinct banded matrices, one common slab layout: HBM holds
         # (B, G, 128, WB) slabs per direction instead of (B, m, n) dense.
-        (fs, fst), (bs, bst) = _band_stack(
+        (fs, fst), (bs, bst) = band_probe or _band_stack(
             problems, dtype, np_dtype, m_max, n_max
         )
         _f64_guard(

@@ -194,6 +194,9 @@ def main(argv=None):
                 batch = solve_batch(
                     [p for _, p in loaded], cfg, dtype=dtype,
                     seed=args.seed, restart_sync="global",
+                    # Layout passthrough: shared-K fleets take any layout,
+                    # distinct-K fleets dense or stacked band-slab.
+                    matrix_format=args.matrix_format or "dense",
                 )
                 for (name, _), r in zip(loaded, batch):
                     row = r.csv_row(name)
