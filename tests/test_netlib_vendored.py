@@ -82,3 +82,55 @@ def test_verify_objective_accepts_either_offset_convention():
     pub = netlib.known_objective("afiro")
     assert netlib.verify_objective("afiro", pub + 5.0, obj_offset=5.0)
     assert netlib.verify_objective("afiro", pub, obj_offset=5.0)
+
+
+# ---- full-set fetch-and-sweep (verdict r2 item 1d): network-gated ----
+
+@pytest.mark.slow
+def test_netlib_feasible_sweep_to_published_optima():
+    """Fetch the FULL Netlib feasible list and solve every instance to its
+    published optimum (the reference's evaluation corpus:
+    /root/reference/PDLP/main.py:83).  Skips cleanly when offline — the
+    zero-egress build serves only the vendored afiro; on a networked host
+    this sweep is the real-instance validation gate."""
+    fetched = netlib.fetch_all(netlib.FEASIBLE)
+    names = [n for n, p in fetched.items() if p is not None]
+    if len(names) <= 1:  # vendored afiro only -> offline
+        pytest.skip("Netlib mirrors unreachable (zero-egress environment)")
+    failures = []
+    for name in names:
+        p = netlib.load(name)
+        r = solve(
+            p,
+            SolverConfig(tol=1e-6, max_kkt=400_000, scaling="ruiz",
+                         adaptive=True, primal_weight_update=True),
+        )
+        try:
+            assert r.status == Status.SOLVED, r.status_string
+            netlib.verify_objective(name, r.objective, rtol=1e-4,
+                                    obj_offset=p.obj_offset)
+        except (AssertionError, netlib.ObjectiveMismatch) as e:
+            failures.append(f"{name}: {e}")
+    assert not failures, "\n".join(failures)
+
+
+@pytest.mark.slow
+def test_netlib_infeasible_sweep_detects_certificates():
+    """Fetch the Netlib infeasible list and assert certificates fire
+    (the reference: experiments/InfeasibilityDetection3.py:937)."""
+    fetched = netlib.fetch_all(netlib.INFEASIBLE)
+    names = [n for n, p in fetched.items() if p is not None]
+    if not names:
+        pytest.skip("Netlib mirrors unreachable (zero-egress environment)")
+    failures = []
+    for name in names:
+        p = netlib.load(name)
+        r = solve(
+            p,
+            SolverConfig(tol=1e-6, max_kkt=200_000, scaling="ruiz",
+                         adaptive=True, infeasibility_detect=True),
+        )
+        if r.status not in (Status.PRIMAL_INFEASIBLE,
+                            Status.DUAL_INFEASIBLE):
+            failures.append(f"{name}: {r.status_string}")
+    assert not failures, "\n".join(failures)
