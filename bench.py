@@ -39,9 +39,12 @@ def _accelerator_responds() -> bool:
 
     Probed in a SUBPROCESS with a hard timeout: when the remote-tunnel
     TPU is down, jax.devices()/the first dispatch can block indefinitely
-    (and not just raise), which would hang the whole benchmark run.
+    (and not just raise), which would hang the whole benchmark run.  The
+    probe itself detects CPU-only environments (the platform assert), so
+    it runs regardless of JAX_PLATFORMS — a plugin registered by
+    sitecustomize counts even when the env var is unset.
     """
-    if os.environ.get("JAX_PLATFORMS", "") in ("cpu", ""):
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
         return False
     code = (
         "import jax\n"
