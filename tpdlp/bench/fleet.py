@@ -41,8 +41,16 @@ def perturbed_fleet(base, batch: int, rel: float = 0.05, seed: int = 0):
 
 
 def run_fleet(
-    problems, tol, max_kkt, dtype_name="float32", restart_sync="global"
+    problems, tol, max_kkt, dtype_name="float32", restart_sync="global",
+    warm_problems=None, matrix_format="dense", shared_operator="auto",
 ):
+    """Measure instances/s for one batched solve.
+
+    `warm_problems` (same shapes, DIFFERENT data) drive the compile-warm
+    runs: remote-tunnel runtimes cache byte-identical dispatches, so
+    warming on the measured fleet itself would time the cache, not the
+    device.  Defaults to a re-perturbed copy of `problems`.
+    """
     import jax.numpy as jnp
 
     from tpdlp import SolverConfig
@@ -53,11 +61,19 @@ def run_fleet(
         primal_weight_update=True, time_limit=1200,
     )
     dtype = jnp.float32 if dtype_name == "float32" else jnp.float64
-    kw = dict(dtype=dtype, restart_sync=restart_sync)
+    kw = dict(dtype=dtype, restart_sync=restart_sync,
+              matrix_format=matrix_format, shared_operator=shared_operator)
+    if warm_problems is None:
+        rng = np.random.default_rng(104729)
+        warm_problems = []
+        for p in problems:
+            w = copy.deepcopy(p)
+            w.c = w.c * (1.0 + 0.01 * rng.standard_normal(w.c.shape))
+            warm_problems.append(w)
     # Warm twice: the first call compiles; the second may still populate
     # the persistent compilation cache / reach late chunk programs.
-    solve_batch(problems, cfg, **kw)
-    solve_batch(problems, cfg, **kw)
+    solve_batch(warm_problems, cfg, **kw)
+    solve_batch(warm_problems, cfg, **kw)
     t0 = time.perf_counter()
     rs = solve_batch(problems, cfg, **kw)
     wall = time.perf_counter() - t0
@@ -79,17 +95,45 @@ def main(argv=None):
     ap.add_argument("--max_kkt", type=int, default=100_000)
     ap.add_argument("--ref-samples", type=int, default=2)
     ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--matrix_format", default="dense",
+                    choices=("dense", "sparse", "band", "auto"))
+    ap.add_argument("--banded", action="store_true",
+                    help="use a DISTINCT banded fleet (one banded LP per "
+                         "seed, stacked band-slab layout) instead of the "
+                         "cost-perturbed shared-K fleet; --instance is "
+                         "then n,m_ineq,m_eq,bandwidth")
     args = ap.parse_args(argv)
 
-    from tpdlp.bench.suite import build_suite
+    if args.banded:
+        from tpdlp.io.generator import generate_banded_lp
 
-    base = next(
-        p
-        for p in build_suite(("small", "medium", "large"))
-        if p.name == args.instance
-    )
-    fleet = perturbed_fleet(base, args.batch)
-    ours = run_fleet(fleet, args.tol, args.max_kkt)
+        n, mi, me, bw = (int(v) for v in args.instance.split(","))
+        fleet = [
+            generate_banded_lp(n=n, m_ineq=mi, m_eq=me, bandwidth=bw,
+                               seed=s)
+            for s in range(args.batch)
+        ]
+        warm = [
+            generate_banded_lp(n=n, m_ineq=mi, m_eq=me, bandwidth=bw,
+                               seed=10_000 + s)
+            for s in range(args.batch)
+        ]
+        args.instance = f"banded_{n}x{mi + me}_bw{bw}"
+        ours = run_fleet(fleet, args.tol, args.max_kkt,
+                         warm_problems=warm,
+                         matrix_format=args.matrix_format,
+                         shared_operator=False)
+    else:
+        from tpdlp.bench.suite import build_suite
+
+        base = next(
+            p
+            for p in build_suite(("small", "medium", "large"))
+            if p.name == args.instance
+        )
+        fleet = perturbed_fleet(base, args.batch)
+        ours = run_fleet(fleet, args.tol, args.max_kkt,
+                         matrix_format=args.matrix_format)
     print(
         f"[fleet] ours: {ours['batch']} instances in {ours['time']:.2f}s "
         f"({ours['instances_per_sec']:.1f} inst/s, "
