@@ -1,0 +1,113 @@
+"""High-accuracy (1e-8) certification benchmark on the current backend.
+
+Reproduces the BASELINE.md "High accuracy" rows from one command: solve a
+suite instance end-to-end at tol=1e-8 with the default escalation
+(`escalation_mode="auto"` -> iterative refinement, fp32-only device
+programs — tpdlp/solver/refine.py) and verify the objective against the
+scipy/HiGHS oracle.  The same command produced the CPU artifact
+(`artifacts/refine_mittelmann_s_cpu_r3.json`) and the TPU row; the
+backend in use is recorded in the artifact so the two cannot be confused.
+
+Reference context: the reference is fp32 throughout
+(/root/reference/PDLP/util.py:240-246) and exhausts its KKT budget
+Unsolved at tol=1e-8 (artifact `artifacts/ref_1e8_mittelmann_s_r3.json`).
+
+Usage:
+    python -m tpdlp.bench.refine_1e8 [--instance mittelmann-s]
+        [--tol 1e-8] [--seed 0] [--matrix_format dense] [--out art.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+
+from tpdlp.bench.suite import build_suite
+from tpdlp.config import SolverConfig
+from tpdlp.solver.solve import solve
+
+
+def _oracle_objective(problem):
+    """HiGHS (scipy.linprog) optimum, incl. obj_offset; None if not optimal."""
+    import scipy.sparse as sp
+    from scipy.optimize import linprog
+
+    K = problem.K
+    if not sp.issparse(K):
+        K = sp.csr_matrix(K)
+    G, A = K[: problem.m_ineq], K[problem.m_ineq:]
+    h, b = problem.q[: problem.m_ineq], problem.q[problem.m_ineq:]
+    bounds = [
+        (None if np.isneginf(lo) else lo, None if np.isposinf(up) else up)
+        for lo, up in zip(problem.l, problem.u)
+    ]
+    res = linprog(
+        problem.c,
+        A_ub=-G if G.shape[0] else None, b_ub=-h if G.shape[0] else None,
+        A_eq=A if A.shape[0] else None, b_eq=b if A.shape[0] else None,
+        bounds=bounds, method="highs",
+    )
+    if res.status != 0:
+        return None
+    return float(res.fun) + getattr(problem, "obj_offset", 0.0)
+
+
+def run(instance="mittelmann-s", tol=1e-8, seed=0, matrix_format="dense"):
+    problems = {p.name: p for p in build_suite(("small", "medium", "large"))}
+    problem = problems[instance]
+    cfg = SolverConfig(tol=tol, scaling="ruiz", adaptive=True,
+                       primal_weight_update=True)
+    start = time.perf_counter()
+    r = solve(problem, cfg, seed=seed, matrix_format=matrix_format)
+    wall = time.perf_counter() - start
+
+    row = {
+        "instance": instance,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "status": r.status.describe(),
+        "iterations": int(r.iterations),
+        "kkt": int(r.kkt_passes),
+        "wall": round(wall, 1),
+        "objective": r.objective,
+        "primal_res": float(r.primal_res),
+        "dual_res": float(r.dual_res),
+        "gap": float(r.gap),
+    }
+    oracle_obj = _oracle_objective(problem)
+    if oracle_obj is not None:
+        row["oracle_obj"] = oracle_obj
+        row["rel_err"] = abs(r.objective - oracle_obj) / max(1.0,
+                                                             abs(oracle_obj))
+    row["protocol"] = (
+        f"python -m tpdlp.bench.refine_1e8 --instance {instance} "
+        f"--tol {tol:g} --seed {seed} --matrix_format {matrix_format} "
+        "(escalation_mode=auto -> refine, ruiz+adaptive+pwu)"
+    )
+    return row
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--instance", default="mittelmann-s")
+    ap.add_argument("--tol", type=float, default=1e-8)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--matrix_format", default="dense")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    row = run(args.instance, args.tol, args.seed, args.matrix_format)
+    print(json.dumps(row, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(row, f, indent=1)
+        print(f"[refine_1e8] artifact written: {args.out}")
+    return row
+
+
+if __name__ == "__main__":
+    main()

@@ -45,17 +45,20 @@ def dense_candidate_allowed(m: int, n: int, dtype, budget=None) -> bool:
     return m * n * jnp.dtype(dtype).itemsize <= _budget(budget)
 
 
-def _dense_from_coo(coo: sp.coo_matrix, dtype) -> DenseOp:
+def _dense_from_coo(coo: sp.coo_matrix, dtype):
     """Dense operator via on-device scatter of the COO triplets — the dense
     array never exists in host memory (and the host->device transfer is
-    12 bytes/nnz, not 4 bytes/element)."""
+    12 bytes/nnz, not 4 bytes/element).  On TPU this wraps the matrix in
+    the exact-fp32 Pallas operator (see problem.dense_op_for_backend)."""
+    from tpdlp.problem import dense_op_for_backend
+
     m, n = coo.shape
     mat = (
         jnp.zeros((m, n), dtype)
         .at[jnp.asarray(coo.row), jnp.asarray(coo.col)]
         .add(jnp.asarray(coo.data, dtype))
     )
-    return DenseOp(mat)
+    return dense_op_for_backend(mat)
 
 
 def _time_op(op, kkt_passes: int = 10) -> float:

@@ -250,14 +250,26 @@ class _BandMat:
             self.slabs.astype(x.dtype),
             self._windows(x),
             preferred_element_type=x.dtype,
+            # Exact-fp32 contraction: the TPU default is single-pass bf16
+            # on the MXU, which stalls 1e-8 solves (see ops/dense.py).
+            # The window contraction is HBM-bound, so this is free.
+            precision=jax.lax.Precision.HIGHEST,
         )
         return y.reshape(-1)[: self.m]
 
     def matvec(self, x, *, use_pallas: bool = True):
         """y = M x.  The Pallas kernel runs only on real TPU AND when the
         caller allows it (sharded operators must use the partitionable
-        take+einsum path); everywhere else -> matvec_xla."""
-        if not use_pallas or jax.default_backend() != "tpu":
+        take+einsum path); everywhere else -> matvec_xla.  fp64 inputs
+        also route to XLA — Mosaic has no fp64 vector path, so the kernel
+        would fail to lower on chip (the XLA path runs in the backend's
+        emulated fp64)."""
+        if (
+            not use_pallas
+            or jax.default_backend() != "tpu"
+            or jnp.dtype(x.dtype).itemsize > 4
+            or jnp.dtype(self.slabs.dtype).itemsize > 4
+        ):
             return self.matvec_xla(x)
         y = _band_matvec_pallas(
             self.slabs.astype(x.dtype), self._windows(x)

@@ -143,6 +143,7 @@ class _EllMat:
             self.tiles.astype(x.dtype),
             gathered,
             preferred_element_type=x.dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return y.reshape(-1)[: self.m]
 
@@ -157,6 +158,7 @@ class _EllMat:
             self.tiles.astype(X.dtype),
             gathered,
             preferred_element_type=X.dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return Y.reshape(-1, b)[: self.m]
 

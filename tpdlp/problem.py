@@ -224,7 +224,29 @@ def triplet_transfer_wins(
     return nnz * (index_bytes + itemsize) < dense_elems * itemsize // 2
 
 
-def to_device_arrays(problem: LPProblem, dtype=jnp.float32):
+def dense_op_for_backend(mat: jax.Array, exact: bool = True):
+    """Wrap a built dense matrix in the right operator for this backend.
+
+    On TPU with a <=32-bit dtype the solve path needs `ExactDenseOp`
+    (Pallas VPU matvec): this backend's MXU dot is reduced-precision and
+    ignores precision flags, which stalls tol<=1e-6 solves (see
+    ops/pallas_dense.py).  `exact=False` keeps the plain MXU `DenseOp` —
+    for vmapped fleets (no pallas-under-vmap) and GSPMD-sharded solves
+    (XLA partitions dots, not pallas calls).
+    """
+    if (
+        exact
+        and jax.default_backend() == "tpu"
+        and jnp.dtype(mat.dtype).itemsize <= 4
+    ):
+        from tpdlp.ops.pallas_dense import ExactDenseOp
+
+        return ExactDenseOp.build(mat)
+    return DenseOp(mat)
+
+
+def to_device_arrays(problem: LPProblem, dtype=jnp.float32, *,
+                     exact: bool = True):
     """Host LPProblem -> (DenseOp, c, q, l, u) device arrays.
 
     The single host->device transfer of a solve (reference analog:
@@ -245,11 +267,11 @@ def to_device_arrays(problem: LPProblem, dtype=jnp.float32):
                 .at[jnp.asarray(coo.row), jnp.asarray(coo.col)]
                 .add(jnp.asarray(coo.data, dtype))
             )
-            op = DenseOp(mat)
         else:
-            op = DenseOp(jnp.asarray(K.toarray(), dtype))
+            mat = jnp.asarray(K.toarray(), dtype)
     else:
-        op = DenseOp(jnp.asarray(K, dtype))
+        mat = jnp.asarray(K, dtype)
+    op = dense_op_for_backend(mat, exact)
     c = jnp.asarray(problem.c, dtype)
     q = jnp.asarray(problem.q, dtype)
     l = jnp.asarray(problem.l, dtype)

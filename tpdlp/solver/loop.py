@@ -447,8 +447,10 @@ def make_body(pb, cfg: SolverConfig, include_restart: bool = True):
         # cycle's baseline (kkt_first).
         dx = x_f - st.x
         dy = y_f - st.y
+        _hi = jax.lax.Precision.HIGHEST  # exact fp32 (see ops/dense.py)
         fp = jnp.sqrt(
-            st.omega * jnp.vdot(dx, dx) + jnp.vdot(dy, dy) / st.omega
+            st.omega * jnp.vdot(dx, dx, precision=_hi)
+            + jnp.vdot(dy, dy, precision=_hi) / st.omega
         )
         kkt_first_new = jnp.where(t_new == 1, fp, st2.kkt_first)
 

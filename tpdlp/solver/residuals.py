@@ -61,12 +61,16 @@ def compute_residuals(
     grad = c - kty
     lam = project_lambda_box(grad, is_neg_inf, is_pos_inf)
 
-    prim_obj = jnp.dot(c, x)
-    dual_obj = jnp.dot(q, y)
+    # Exact-fp32 dots: at the TPU default these may round operands to
+    # bf16 on the MXU, injecting ~1e-3 relative error into the gap — far
+    # above a 1e-8 termination threshold (see ops/dense.py).
+    _hi = jax.lax.Precision.HIGHEST
+    prim_obj = jnp.dot(c, x, precision=_hi)
+    dual_obj = jnp.dot(q, y, precision=_hi)
     adjusted_dual = (
         dual_obj
-        + jnp.dot(l_dual, jnp.maximum(lam, 0.0))
-        + jnp.dot(u_dual, jnp.minimum(lam, 0.0))
+        + jnp.dot(l_dual, jnp.maximum(lam, 0.0), precision=_hi)
+        + jnp.dot(u_dual, jnp.minimum(lam, 0.0), precision=_hi)
     )
     gap = adjusted_dual - prim_obj
 

@@ -89,8 +89,12 @@ def adaptive_step(
         dx = x_new - x
         dy = y_new - y
         k_dx = kx_new - kx  # K dx by linearity — no extra SpMV
-        denom = 2.0 * jnp.dot(dy, k_dx)
-        num = omega * jnp.vdot(dx, dx) + jnp.vdot(dy, dy) / omega
+        _hi = jax.lax.Precision.HIGHEST  # exact fp32 (see ops/dense.py)
+        denom = 2.0 * jnp.dot(dy, k_dx, precision=_hi)
+        num = (
+            omega * jnp.vdot(dx, dx, precision=_hi)
+            + jnp.vdot(dy, dy, precision=_hi) / omega
+        )
         eta_bar = jnp.where(
             denom != 0.0, num / jnp.abs(denom), jnp.asarray(jnp.inf, eta.dtype)
         )
