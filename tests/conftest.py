@@ -50,3 +50,17 @@ def _bound_jit_cache_memory(request):
     yield
     if request.node.get_closest_marker("slow"):
         jax.clear_caches()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_caches_per_module():
+    """Clear the jit caches at every test-module boundary.
+
+    Round 3's blocked loop made each compiled solver program several
+    times bigger; with hundreds of them accumulated in one process the
+    XLA:CPU compiler itself eventually segfaults mid-compile (observed
+    deterministically ~230 tests in, while the same compile succeeds in
+    a fresh process).  Module-boundary clears bound the accumulation;
+    within a module the caches still amortize compiles across tests."""
+    yield
+    jax.clear_caches()

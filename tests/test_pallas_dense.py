@@ -43,6 +43,26 @@ def test_kernel_interpret_matches_fp64(rng, m, n):
     assert np.max(np.abs(y - ref) / (1 + np.abs(ref))) < tol
 
 
+def test_kernel_column_split_branch(rng):
+    """Rows wider than the block budget split into >1 column grid steps
+    (the revisited-output accumulation path + the (BN//128, 128) x
+    blocks — the lowering round 3 fixed for mittelmann-l)."""
+    m, n = 16, 9000
+    n128 = -(-n // 128) * 128
+    bm, bn = block_shape(m, n128)
+    assert bn < n128, "shape must exercise the split branch"
+    assert bn % 1024 == 0, "split BN must be Mosaic-tileable for x blocks"
+    K = rng.standard_normal((m, n)).astype(np.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    Kp = _pad_to_grid(jnp.asarray(K))
+    assert Kp.shape[1] % bn == 0 and Kp.shape[1] // bn > 1
+    xp = jnp.zeros(Kp.shape[1], jnp.float32).at[:n].set(jnp.asarray(x))
+    y = np.asarray(matvec_exact(Kp, xp, interpret=True))[:m]
+    ref = K.astype(np.float64) @ x.astype(np.float64)
+    tol = 6e-8 * n**0.5 * 30
+    assert np.max(np.abs(y - ref) / (1 + np.abs(ref))) < tol
+
+
 def test_padding_zero_rows_cols(rng):
     """Padded rows produce exactly zero output; padded columns of x are
     never read (zero contribution)."""

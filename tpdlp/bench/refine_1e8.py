@@ -56,11 +56,22 @@ def _oracle_objective(problem):
     return float(res.fun) + getattr(problem, "obj_offset", 0.0)
 
 
-def run(instance="mittelmann-s", tol=1e-8, seed=0, matrix_format="dense"):
-    problems = {p.name: p for p in build_suite(("small", "medium", "large"))}
+def run(instance="mittelmann-s", tol=1e-8, seed=0, matrix_format="dense",
+        warm=True):
+    problems = {
+        p.name: p
+        for p in build_suite(("small", "medium", "large", "xl"))
+    }
     problem = problems[instance]
     cfg = SolverConfig(tol=tol, scaling="ruiz", adaptive=True,
                        primal_weight_update=True)
+    if warm:
+        # Warm the compiled programs with a DIFFERENT seed (same protocol
+        # as bench.py): this backend AOT-compiles each program family on
+        # first execution (~20-40 s each over the remote tunnel), which
+        # would otherwise dominate the measured wall; a different seed
+        # keeps the measured run out of the runtime's dispatch cache.
+        solve(problem, cfg, seed=seed + 7919, matrix_format=matrix_format)
     start = time.perf_counter()
     r = solve(problem, cfg, seed=seed, matrix_format=matrix_format)
     wall = time.perf_counter() - start

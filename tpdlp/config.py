@@ -172,6 +172,39 @@ class SolverConfig:
     #: gap is the only dual error signal).
     refine_polish: bool = True
 
+    #: PDHG-step operator products (K x / K'y inside the iteration):
+    #: "exact" — the operator's exact-fp32 path (Pallas VPU kernel on TPU;
+    #:           see ops/pallas_dense.py), required below ~1e-5 tolerances
+    #:           where this backend's reduced-precision MXU dot stalls;
+    #: "fast"  — the operator's throughput path (MXU dot on TPU).  Step
+    #:           products carry ~1e-5 relative noise there, which PDHG
+    #:           absorbs at loose tolerances; TERMINATION stays sound
+    #:           because restart checks recompute the carried products
+    #:           with the exact path before evaluating residuals (see
+    #:           loop.py::_fresh_products);
+    #: "auto"  — fast iff tol >= 1e-4 (the regime rounds 1-2 certified
+    #:           on the MXU), exact otherwise.
+    #: Off-TPU the two paths coincide (XLA CPU fp32 dots are exact).
+    step_products: str = "auto"
+
+    #: Chunk-loop structure.
+    #: "blocked" — run `restart_period` iterations as one straight-line
+    #:             (cond-free) block per while step, restart check at the
+    #:             block boundary.  Semantically identical to "periter"
+    #:             when no per-iteration certificates are configured (the
+    #:             only thing that can change status mid-cycle), and much
+    #:             faster on TPU: without per-iteration `lax.cond`
+    #:             boundaries XLA keeps a VMEM-resident dense K across the
+    #:             whole block (measured 2.8x on mittelmann-s).  The KKT
+    #:             budget is checked per block, so a chunk may overrun
+    #:             j_budget by up to one block (~restart_period + 5).
+    #: "periter" — the round-2 loop: one iteration per while step, status
+    #:             gated and restart-checked every iteration.  Required
+    #:             when certificates are on (they can change status at any
+    #:             iteration) — `blocked_allowed` in loop.py gates this.
+    #: "auto"    — blocked whenever legal.
+    loop_mode: str = "auto"
+
     # Initialisation (PDLP/primal_dual_hybrid_gradient.py:22-25).
     eta_safety: float = 0.9
     power_iters: int = 100
@@ -216,6 +249,8 @@ class SolverConfig:
             "scaling": ("none", "ruiz", "ruiz+pc"),
             "escalation_scheme": ("auto", "inherit"),
             "escalation_mode": ("auto", "refine", "fp64_tail"),
+            "step_products": ("auto", "exact", "fast"),
+            "loop_mode": ("auto", "blocked", "periter"),
         }
         for field, allowed in _check.items():
             v = getattr(self, field)
@@ -226,3 +261,12 @@ class SolverConfig:
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)
+
+
+def fast_step_products(cfg: SolverConfig) -> bool:
+    """Resolve cfg.step_products: True -> steps use op.mv_fast/rmv_fast."""
+    if cfg.step_products == "fast":
+        return True
+    if cfg.step_products == "exact":
+        return False
+    return cfg.tol >= 1e-4

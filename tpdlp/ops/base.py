@@ -28,6 +28,23 @@ class LinOp:
         """K' @ y: (m,) -> (n,)."""
         raise NotImplementedError
 
+    # Throughput variants for the PDHG step products (cfg.step_products):
+    # an operator may offer a faster, slightly-noisier product path for
+    # the iteration while mv/rmv stay the exact-certification path (see
+    # ops/pallas_dense.py::ExactDenseOp, the TPU case).  Default: same.
+    def mv_fast(self, x):
+        return self.mv(x)
+
+    def rmv_fast(self, y):
+        return self.rmv(y)
+
+    @property
+    def has_fast_products(self) -> bool:
+        """True when mv_fast/rmv_fast differ from mv/rmv (then restart
+        checks must refresh carried products via the exact path before
+        certifying termination — loop.py::_fresh_products)."""
+        return False
+
     # Batched variants over a trailing point axis (used by the restart
     # metric batch and the fishnet warm start).  Default: vmap.
     def mm(self, X):

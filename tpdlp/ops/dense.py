@@ -70,12 +70,15 @@ class DenseOp(LinOp):
         return jnp.sum(a**ord, axis=0) ** (1.0 / ord)
 
     def scale(self, d_row, d_col):
-        return DenseOp(
+        # type(self): subclasses (test doubles, wrappers) must survive
+        # scaling — the Ruiz loop carries the operator through while_loop,
+        # where a class change breaks the carry pytree structure.
+        return type(self)(
             self.mat * d_row[:, None] * d_col[None, :], self.precision
         )
 
     def astype(self, dtype):
-        return DenseOp(self.mat.astype(dtype), self.precision)
+        return type(self)(self.mat.astype(dtype), self.precision)
 
     def tree_flatten(self):
         return (self.mat,), (self.precision,)

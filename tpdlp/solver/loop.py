@@ -46,6 +46,22 @@ def primal_weight_update(x_restart, x, y_restart, y, omega, theta_smooth):
     return jnp.where((dx > 0) & (dy > 0), new, omega)
 
 
+def _fresh_products(pb, cfg: SolverConfig, x, y, kx, kty):
+    """Exact (K x, K'y) for a candidate about to be RESIDUAL-EVALUATED.
+
+    When the step products run the operator's throughput path
+    (cfg.step_products fast + op.has_fast_products, i.e. the MXU dot on
+    TPU with its ~1e-5 relative noise), the carried products are not
+    accurate enough to certify termination — recompute them through the
+    exact path here.  Otherwise the carried products ARE exact: pass
+    them through (no extra SpMV)."""
+    from tpdlp.config import fast_step_products
+
+    if fast_step_products(cfg) and pb.op.has_fast_products:
+        return pb.op.mv(x), pb.op.rmv(y)
+    return kx, kty
+
+
 def _restart_check(pb, cfg: SolverConfig, st: PDHGState) -> PDHGState:
     """Every-restart_period evaluation (primal_dual_hybrid_gradient.py:115-142)
     plus, on restart, the reference's outer-loop tail (:148-177)."""
@@ -55,6 +71,12 @@ def _restart_check(pb, cfg: SolverConfig, st: PDHGState) -> PDHGState:
     y_avg = st.y_sum / st.eta_sum
     kx_avg = pb.op.mv(x_avg)
     kty_avg = pb.op.rmv(y_avg)
+
+    # Exact products of the current iterate (fast-step mode refreshes the
+    # carried pair; also resets any accumulated step-product drift into
+    # the carry on restart below).
+    kx_cur, kty_cur = _fresh_products(pb, cfg, st.x, st.y, st.kx, st.kty)
+    st = st.replace(kx=kx_cur, kty=kty_cur)
 
     res_cur = R.residuals_scaled(pb, st.x, st.y, st.kx, st.kty)
     res_avg = R.residuals_scaled(pb, x_avg, y_avg, kx_avg, kty_avg)
@@ -162,7 +184,11 @@ def _restart_check_halpern(pb, cfg: SolverConfig, st: PDHGState) -> PDHGState:
     """
     dtype = st.x.dtype
     x_f, y_f = st.x_prev, st.y_prev
-    kx_f, kty_f = st.kx_prev, st.kty_prev
+    # The feasible pair is what gets residual-evaluated (and possibly
+    # certified) — refresh its products in fast-step mode.
+    kx_f, kty_f = _fresh_products(
+        pb, cfg, x_f, y_f, st.kx_prev, st.kty_prev
+    )
     x_avg = st.x_sum / st.eta_sum
     y_avg = st.y_sum / st.eta_sum
     kx_avg = pb.op.mv(x_avg)
@@ -285,12 +311,12 @@ def restart_check_gated(
     )
 
 
-def make_body(pb, cfg: SolverConfig, include_restart: bool = True):
-    """One PDHG iteration as a pure state transition.
-
-    The body is a no-op once the status is terminal: required for batched
-    (vmap) solves, where the lifted while_loop keeps stepping every batch
-    element until all are done — finished instances must hold their state.
+def make_live(pb, cfg: SolverConfig, include_restart: bool = True):
+    """One UNGATED PDHG iteration (no status check): the builder shared by
+    the per-iteration body (`make_body` wraps it in the status cond) and
+    the blocked runner (`run_chunk_blocked_impl` straight-lines
+    restart_period of them per while step — legal only when nothing
+    inside can change the status, see `blocked_allowed`).
 
     `include_restart=False` omits the per-iteration restart condition; the
     caller schedules `restart_check_gated` itself (the batched lockstep
@@ -308,7 +334,7 @@ def make_body(pb, cfg: SolverConfig, include_restart: bool = True):
             result = S.fixed_step(
                 pb, cfg, st.x, st.y, st.kx, st.kty, st.eta, st.omega
             )
-        return result, pb.op.rmv(result.y)
+        return result, S.step_mv(pb, cfg)[1](result.y)
 
     def apply_certificates(
         st2, k_new, x_new, y_new, kx_new, kty_new,
@@ -497,11 +523,20 @@ def make_body(pb, cfg: SolverConfig, include_restart: bool = True):
                 "anchored reflected iteration (it stalls); the scheme is "
                 "designed for the fixed eta = 0.9/||K|| step"
             )
-        live = live_body_halpern
-    elif cfg.step_scheme == "vanilla":
-        live = live_body
-    else:
-        raise ValueError(f"unknown step_scheme: {cfg.step_scheme!r}")
+        return live_body_halpern
+    if cfg.step_scheme == "vanilla":
+        return live_body
+    raise ValueError(f"unknown step_scheme: {cfg.step_scheme!r}")
+
+
+def make_body(pb, cfg: SolverConfig, include_restart: bool = True):
+    """One PDHG iteration as a pure state transition.
+
+    The body is a no-op once the status is terminal: required for batched
+    (vmap) solves, where the lifted while_loop keeps stepping every batch
+    element until all are done — finished instances must hold their state.
+    """
+    live = make_live(pb, cfg, include_restart)
 
     def body(st: PDHGState) -> PDHGState:
         return jax.lax.cond(
@@ -523,10 +558,111 @@ def run_chunk_impl(st: PDHGState, pb, j_budget, cfg: SolverConfig) -> PDHGState:
     return jax.lax.while_loop(_chunk_cond(j_budget), make_body(pb, cfg), st)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def run_chunk(st: PDHGState, pb, j_budget, cfg: SolverConfig) -> PDHGState:
-    """Run iterations until a terminal status or j >= j_budget."""
+def blocked_allowed(cfg: SolverConfig) -> bool:
+    """True when the blocked (cond-free straight-line cycle) loop is
+    semantically identical to the per-iteration loop: the status must not
+    be able to change INSIDE a restart cycle, i.e. no per-iteration
+    certificate families are configured.  (Restart checks — the only
+    other status writers — run at cycle boundaries in both modes.)"""
+    return (
+        cfg.loop_mode != "periter"
+        and not cfg.infeasibility_detect
+        and not cfg.normalized_certificates
+        # The cycle is UNROLLED restart_period times into one program;
+        # beyond this the compile time/program size stops paying for the
+        # removed loop overhead (default period is 40).
+        and cfg.restart_period <= 256
+    )
+
+
+def run_chunk_blocked_impl(
+    st: PDHGState, pb, j_budget, cfg: SolverConfig, aligned: bool = False,
+    unroll: bool | None = None,
+) -> PDHGState:
+    """Blocked chunk runner: one while step = `restart_period` ungated
+    iterations straight-lined + the boundary restart check.
+
+    Removing the per-iteration `lax.cond`s does more than save the ~14 us
+    loop-step overhead: without cond region boundaries between the step
+    products, XLA keeps a VMEM-resident dense K across the whole cycle
+    (v5e: 128 MB VMEM), lifting the iteration rate from HBM-streaming to
+    VMEM speed — measured 5.1k -> 14.5k it/s on mittelmann-s (2000x5000,
+    tol=1e-4 protocol, fast step products).
+
+    Correctness: requires `blocked_allowed(cfg)` (nothing inside a cycle
+    can change the status).  A divergence (NaN iterates) surfaces at the
+    boundary check exactly as in the per-iteration loop.  The KKT budget
+    is checked per block, so a chunk may overrun j_budget by up to one
+    cycle (~restart_period + 5 passes) — callers treat j_budget as a
+    dispatch granularity bound, not an exact stop (solve.py re-checks).
+    Entry states mid-cycle (resume from a per-iteration checkpoint) are
+    first aligned to a cycle boundary by the per-iteration body.
+    """
+    cond = _chunk_cond(j_budget)
+    T = cfg.restart_period
+
+    # Align t to a cycle boundary (resume from a per-iteration
+    # checkpoint).  `aligned=True` (static) omits this loop entirely:
+    # fresh states have t == 0, and blocked chunks always EXIT at a
+    # boundary, so solve.py can assert alignment for every chunk after
+    # the first — the extra while_loop otherwise costs ~8% (it gives XLA
+    # a second, cond-fenced use of K to plan VMEM around).
+    if not aligned:
+        body1 = make_body(pb, cfg)
+        st = jax.lax.while_loop(
+            lambda s: cond(s) & (s.t % T != 0), body1, st
+        )
+
+    live = make_live(pb, cfg, include_restart=False)
+    check = _restart_for(cfg)
+    if unroll is None:
+        # The Python unroll is what buys the TPU VMEM residency (a
+        # fori_loop body is its own region, like a cond).  Off-TPU there
+        # is no residency to win and the 40x-unrolled program just
+        # compiles ~10x slower, so loop instead — same math, same
+        # trajectory.
+        unroll = jax.default_backend() == "tpu"
+
+    def cycle(s: PDHGState) -> PDHGState:
+        # NO status gate here (the while cond already guarantees RUNNING
+        # on entry — this runner is single-instance only, NOT vmap-safe):
+        # wrapping the cycle in a lax.cond would fence the products into
+        # a branch computation and forfeit the VMEM residency.
+        if unroll:
+            for _ in range(T):
+                s = live(s)
+        else:
+            s = jax.lax.fori_loop(0, T, lambda _, x: live(x), s)
+        # t is a multiple of T here by construction: the boundary check
+        # always fires (matching the per-iteration fire condition).
+        return check(pb, cfg, s)
+
+    return jax.lax.while_loop(cond, cycle, st)
+
+
+def run_chunk_auto_impl(
+    st: PDHGState, pb, j_budget, cfg: SolverConfig, aligned: bool = False
+) -> PDHGState:
+    """Single-instance chunk runner: blocked when legal, per-iteration
+    otherwise.  (Batched/vmapped solves keep run_chunk_impl: their
+    elements finish at different times, and the blocked body would keep
+    stepping an element whose budget is spent while stragglers catch up.)
+    """
+    if blocked_allowed(cfg):
+        return run_chunk_blocked_impl(st, pb, j_budget, cfg, aligned)
     return run_chunk_impl(st, pb, j_budget, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "aligned"))
+def run_chunk(
+    st: PDHGState, pb, j_budget, cfg: SolverConfig, aligned: bool = False
+) -> PDHGState:
+    """Run iterations until a terminal status or j >= j_budget.
+
+    `aligned` (static): caller asserts st.t is a multiple of
+    cfg.restart_period (fresh states, or any state left by a blocked
+    chunk) — skips the alignment pre-loop in blocked mode."""
+    return run_chunk_auto_impl(st, pb, j_budget, cfg, aligned)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -538,11 +674,13 @@ def final_eval(st: PDHGState, pb, cfg: SolverConfig) -> PDHGState:
     In the Halpern scheme the carried z may be infeasible, so the last
     feasible PDHG output (the *_prev slots) is evaluated instead."""
     if cfg.step_scheme == "halpern":
-        res_term = R.residuals_unscaled(
-            pb, st.x_prev, st.y_prev, st.kx_prev, st.kty_prev
+        kx_f, kty_f = _fresh_products(
+            pb, cfg, st.x_prev, st.y_prev, st.kx_prev, st.kty_prev
         )
+        res_term = R.residuals_unscaled(pb, st.x_prev, st.y_prev, kx_f, kty_f)
     else:
-        res_term = R.residuals_unscaled(pb, st.x, st.y, st.kx, st.kty)
+        kx_c, kty_c = _fresh_products(pb, cfg, st.x, st.y, st.kx, st.kty)
+        res_term = R.residuals_unscaled(pb, st.x, st.y, kx_c, kty_c)
     solved = R.check_termination(
         res_term,
         pb.q_norm_term,

@@ -28,7 +28,12 @@ import numpy as np
 from tpdlp.config import SolverConfig, Status
 from tpdlp.problem import LPProblem, device_problem, to_device_arrays
 from tpdlp.scaling.ruiz import scale_problem
-from tpdlp.solver.loop import final_eval, run_chunk, run_chunk_impl
+from tpdlp.solver.loop import (
+    blocked_allowed,
+    final_eval,
+    run_chunk,
+    run_chunk_auto_impl,
+)
 from tpdlp.solver.power_iteration import spectral_norm_estimate
 from tpdlp.solver.state import init_state
 
@@ -188,7 +193,7 @@ def _prepare_run(op, c, q, l, u, ineq_mask, key, budget, cfg: SolverConfig):
     """Preprocessing + the first iteration chunk, fused into ONE dispatch —
     a small LP then completes in a single host round trip."""
     pb, st = _prepare_impl(op, c, q, l, u, ineq_mask, key, None, None, cfg)
-    return pb, run_chunk_impl(st, pb, budget, cfg)
+    return pb, run_chunk_auto_impl(st, pb, budget, cfg, aligned=True)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -196,7 +201,7 @@ def _prepare_warm_run(
     op, c, q, l, u, ineq_mask, key, x0, y0, budget, cfg: SolverConfig
 ):
     pb, st = _prepare_impl(op, c, q, l, u, ineq_mask, key, x0, y0, cfg)
-    return pb, run_chunk_impl(st, pb, budget, cfg)
+    return pb, run_chunk_auto_impl(st, pb, budget, cfg, aligned=True)
 
 
 @functools.partial(jax.jit, static_argnames=("use_prev",))
@@ -803,7 +808,24 @@ def solve(
         planned = min(cfg.max_kkt, chunk)
         chunk = min(chunk * 2, cfg.chunk_kkt_max)
         budget0 = jnp.int32(planned)
-        if x0 is None and y0 is None:
+        if blocked_allowed(cfg) and jax.default_backend() == "tpu":
+            # Blocked loop ON TPU: prepare and the first chunk stay
+            # SEPARATE programs.  XLA only keeps a VMEM-resident K across
+            # the blocked cycle when the program has no other loops over
+            # K — the fused program's Ruiz/power-iteration loops defeat
+            # the pinning (measured 5.3k vs 12k it/s on mittelmann-s).
+            # Still one host ROUND TRIP: both dispatches are
+            # asynchronous, only the probe fetch blocks.  Off-TPU there
+            # is no residency to protect, so the fused single program
+            # below is better (one compile, one dispatch).
+            if x0 is None and y0 is None:
+                pb, st = _prepare(op, c, q, l, u, mask_j, key, cfg)
+            else:
+                pb, st = _prepare_warm(
+                    op, c, q, l, u, mask_j, key, x0j, y0j, cfg
+                )
+            st = run_chunk(st, pb, budget0, cfg, aligned=True)
+        elif x0 is None and y0 is None:
             pb, st = _prepare_run(op, c, q, l, u, mask_j, key, budget0, cfg)
         else:
             pb, st = _prepare_warm_run(
@@ -861,6 +883,7 @@ def solve(
         planned = j_done
     else:
         j_done, status_now = 0, int(Status.RUNNING)
+    chunk_aligned = not resumed
     bundle = None  # result bundle of the last probed state, when eager
 
     while status_now == int(Status.RUNNING) and j_done < cfg.max_kkt:
@@ -870,7 +893,12 @@ def solve(
         while len(pending) < depth and planned < cfg.max_kkt:
             planned = min(cfg.max_kkt, planned + chunk)
             chunk = min(chunk * 2, cfg.chunk_kkt_max)
-            st = run_chunk(st, pb, jnp.int32(planned), cfg)
+            # Fresh/warm states start at t == 0 and blocked chunks exit at
+            # a cycle boundary, so every chunk is aligned except the first
+            # one after a resume (arbitrary checkpointed t).
+            st = run_chunk(st, pb, jnp.int32(planned), cfg,
+                           aligned=chunk_aligned)
+            chunk_aligned = True
             pending.append(st)
         if not pending:
             break

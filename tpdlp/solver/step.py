@@ -24,7 +24,18 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from tpdlp.config import SolverConfig
+from tpdlp.config import SolverConfig, fast_step_products
+
+
+def step_mv(pb, cfg: SolverConfig):
+    """The K-product pair the STEP uses: the operator's throughput path
+    (op.mv_fast, e.g. the MXU dot on TPU) when cfg.step_products resolves
+    fast, the exact path otherwise.  Termination soundness does not rest
+    on this choice — restart checks refresh carried products through the
+    exact path before certifying (loop.py::_fresh_products)."""
+    if fast_step_products(cfg):
+        return (lambda x: pb.op.mv_fast(x)), (lambda y: pb.op.rmv_fast(y))
+    return (lambda x: pb.op.mv(x)), (lambda y: pb.op.rmv(y))
 
 
 class StepResult(NamedTuple):
@@ -36,12 +47,12 @@ class StepResult(NamedTuple):
     j_inc: jax.Array  # KKT passes consumed (int32)
 
 
-def _primal_dual_update(pb, x, y, kx, grad, eta, omega, theta):
+def _primal_dual_update(pb, cfg, x, y, kx, grad, eta, omega, theta):
     """The shared primal/dual update given grad = c - K'y."""
     tau = eta / omega
     sigma = eta * omega
     x_new = jnp.clip(x - tau * grad, pb.l, pb.u)
-    kx_new = pb.op.mv(x_new)
+    kx_new = step_mv(pb, cfg)[0](x_new)
     k_xbar = (1.0 + theta) * kx_new - theta * kx
     y_new = y + sigma * (pb.q - k_xbar)
     y_new = jnp.where(pb.ineq_mask, jnp.maximum(y_new, 0.0), y_new)
@@ -52,7 +63,7 @@ def fixed_step(pb, cfg: SolverConfig, x, y, kx, kty, eta, omega) -> StepResult:
     """One fixed-stepsize PDHG step (reference step.py:3-40); j += 1."""
     grad = pb.c - kty
     x_new, y_new, kx_new = _primal_dual_update(
-        pb, x, y, kx, grad, eta, omega, cfg.theta
+        pb, cfg, x, y, kx, grad, eta, omega, cfg.theta
     )
     one = jnp.ones((), jnp.int32)
     return StepResult(x_new, y_new, kx_new, eta, eta, one)
@@ -84,7 +95,7 @@ def adaptive_step(
 
     def trial(eta_t):
         x_new, y_new, kx_new = _primal_dual_update(
-            pb, x, y, kx, grad, eta_t, omega, cfg.theta
+            pb, cfg, x, y, kx, grad, eta_t, omega, cfg.theta
         )
         dx = x_new - x
         dy = y_new - y
