@@ -31,10 +31,29 @@ from tpdlp.config import SolverConfig
 from tpdlp.solver.solve import solve
 
 
-def _oracle_objective(problem):
-    """HiGHS (scipy.linprog) optimum, incl. obj_offset; None if not optimal."""
+def _oracle_objective(problem, time_limit=900.0):
+    """HiGHS (scipy.linprog) optimum, incl. obj_offset; None if not optimal.
+
+    Time-limited and disk-cached per instance name: on mittelmann-l-class
+    LPs HiGHS itself can grind for HOURS (the earlier "hung" runs of this
+    bench were all the oracle, not the solve), and the optimum of a fixed
+    suite instance never changes."""
+    import json
+    import os
+
     import scipy.sparse as sp
     from scipy.optimize import linprog
+
+    cache_path = os.path.join(
+        os.path.dirname(__file__), "artifacts", "oracle_cache.json"
+    )
+    cache = {}
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            cache = json.load(f)
+    name = getattr(problem, "name", None)
+    if name and name in cache:
+        return cache[name]
 
     K = problem.K
     if not sp.issparse(K):
@@ -50,21 +69,34 @@ def _oracle_objective(problem):
         A_ub=-G if G.shape[0] else None, b_ub=-h if G.shape[0] else None,
         A_eq=A if A.shape[0] else None, b_eq=b if A.shape[0] else None,
         bounds=bounds, method="highs",
+        options={"time_limit": time_limit},
     )
     if res.status != 0:
         return None
-    return float(res.fun) + getattr(problem, "obj_offset", 0.0)
+    obj = float(res.fun) + getattr(problem, "obj_offset", 0.0)
+    if name:
+        cache[name] = obj
+        with open(cache_path, "w") as f:
+            json.dump(cache, f, indent=1)
+    return obj
 
 
 def run(instance="mittelmann-s", tol=1e-8, seed=0, matrix_format="dense",
-        warm=True):
+        warm=True, verbose=False, max_kkt=100_000, escalation_tol=None,
+        chunk_kkt_max=None):
     problems = {
         p.name: p
         for p in build_suite(("small", "medium", "large", "xl"))
     }
     problem = problems[instance]
+    extra = {}
+    if escalation_tol is not None:
+        extra["escalation_tol"] = escalation_tol
+    if chunk_kkt_max is not None:
+        extra["chunk_kkt_max"] = chunk_kkt_max
     cfg = SolverConfig(tol=tol, scaling="ruiz", adaptive=True,
-                       primal_weight_update=True)
+                       primal_weight_update=True, verbose=verbose,
+                       max_kkt=max_kkt, **extra)
     if warm:
         # Warm the compiled programs with a DIFFERENT seed (same protocol
         # as bench.py): this backend AOT-compiles each program family on
@@ -97,7 +129,12 @@ def run(instance="mittelmann-s", tol=1e-8, seed=0, matrix_format="dense",
     row["protocol"] = (
         f"python -m tpdlp.bench.refine_1e8 --instance {instance} "
         f"--tol {tol:g} --seed {seed} --matrix_format {matrix_format} "
-        "(escalation_mode=auto -> refine, ruiz+adaptive+pwu)"
+        f"--max_kkt {max_kkt} "
+        + (f"--escalation_tol {escalation_tol:g} "
+           if escalation_tol is not None else "")
+        + (f"--chunk_kkt_max {chunk_kkt_max} "
+           if chunk_kkt_max is not None else "")
+        + "(escalation_mode=auto -> refine, ruiz+adaptive+pwu)"
     )
     return row
 
@@ -109,9 +146,29 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--matrix_format", default="dense")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--no-warm", action="store_true",
+                    help="skip the compile-warming run")
+    ap.add_argument("--verbose", action="store_true",
+                    help="per-chunk progress records from the inner solves")
+    ap.add_argument("--max_kkt", type=int, default=100_000,
+                    help="global KKT-pass budget (mittelmann-l's 1e-6 "
+                         "coarse stage alone needs >100k passes)")
+    ap.add_argument("--escalation_tol", type=float, default=None,
+                    help="coarse-stage tolerance override: refinement "
+                         "re-centers from any incumbent, and on badly "
+                         "conditioned instances a 1e-4 coarse stage + "
+                         "zoomed (O(1)-conditioned) corrections beats "
+                         "grinding the original problem to 1e-6")
+    ap.add_argument("--chunk_kkt_max", type=int, default=None,
+                    help="cap KKT passes per device dispatch (large "
+                         "instances: keep dispatches ~10 s so the remote "
+                         "tunnel never wedges on a minute-long dispatch)")
     args = ap.parse_args(argv)
 
-    row = run(args.instance, args.tol, args.seed, args.matrix_format)
+    row = run(args.instance, args.tol, args.seed, args.matrix_format,
+              warm=not args.no_warm, verbose=args.verbose,
+              max_kkt=args.max_kkt, escalation_tol=args.escalation_tol,
+              chunk_kkt_max=args.chunk_kkt_max)
     print(json.dumps(row, indent=1))
     if args.out:
         with open(args.out, "w") as f:

@@ -50,12 +50,22 @@ reference conventions (each round's host SpMV pair counts one pass).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 
 import numpy as np
 import scipy.sparse as sp
 
 from tpdlp.config import SolverConfig, Status
+
+#: TPDLP_REFINE_DEBUG=1: phase-level timing prints (round headers,
+#: polish, inner solves, folds) for diagnosing large-instance runs.
+_DEBUG = os.environ.get("TPDLP_REFINE_DEBUG", "") == "1"
+
+
+def _dbg(msg):
+    if _DEBUG:
+        print(f"[refine {time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
 def _project_lambda_box(grad, neg_inf_l, pos_inf_u):
@@ -348,6 +358,7 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
         )
 
     for rnd in range(cfg.refine_max_rounds):
+        _dbg(f"round {rnd}: j={j_total} alpha_p={alpha_p:.2e} alpha_d={alpha_d:.2e}")
         np.clip(xh, l, u, out=xh)  # PDHG keeps iterates in the box; keep
         yh[:m_ineq] = np.maximum(yh[:m_ineq], 0.0)  # the fp64 sum there too
         res = host_residuals(K64, c, q, l, u, m_ineq, xh, yh)
@@ -361,6 +372,7 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
         # improves, so a misidentified active set costs one rejected
         # attempt and nothing else. ----
         if cfg.refine_polish and res.primal_res <= 1e-3 * (1.0 + q_norm):
+            _dbg("polish: start")
             for eps_rel in (1e-5, 1e-7):
                 x_c, y_c, mv = _active_set_polish(
                     K64, c, q, l, u, m_ineq, xh, yh, res, q_norm, c_norm,
@@ -374,6 +386,7 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
                     s2 = _score(r2)
                     if cand_best is None or s2 < cand_best[0]:
                         cand_best = (s2, xx, yy, r2)
+                _dbg(f"polish eps={eps_rel:g}: cand={cand_best[0]:.3e} score={score:.3e}")
                 if cand_best[0] < score:
                     score, xh, yh, res = cand_best
                     if _terminated(res, q_norm, c_norm, cfg.tol,
@@ -551,8 +564,10 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
                 c=c2, K=K_mat, q=q_t, m_ineq=0, l=l2, u=u2,
                 name=f"{problem.name}+refine{rnd}",
             )
+            _dbg(f"inner solve: shape={K_mat.shape} tol={inner_cfg.tol:.1e} budget={inner_cfg.max_kkt}")
             r = solve_fn(corr, inner_cfg, dtype=jnp.float32,
                          matrix_format=corr_format, **kw)
+            _dbg(f"inner done: {r.status_string} j={r.kkt_passes} t={r.solve_time:.1f}s")
             k_total += r.iterations
             n_total += r.restarts
             j_total += r.kkt_passes
@@ -621,6 +636,7 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
             # No accepted progress: the pinned/clipped correction may be
             # infeasible.  Retry the round with penalty elastics (see
             # _elastic_form), which absorb any pin/clip conflict.
+            _dbg("building elastic form")
             if K_elastic is None:
                 K_elastic = _elastic_form(K_aug)
             two_m = np.full(2 * m, cfg.refine_dual_cap)
