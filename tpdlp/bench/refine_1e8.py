@@ -64,14 +64,22 @@ def _oracle_objective(problem, time_limit=900.0):
         (None if np.isneginf(lo) else lo, None if np.isposinf(up) else up)
         for lo, up in zip(problem.l, problem.u)
     ]
-    res = linprog(
-        problem.c,
-        A_ub=-G if G.shape[0] else None, b_ub=-h if G.shape[0] else None,
-        A_eq=A if A.shape[0] else None, b_eq=b if A.shape[0] else None,
-        bounds=bounds, method="highs",
-        options={"time_limit": time_limit},
-    )
-    if res.status != 0:
+    res = None
+    # mittelmann-l-class: dual simplex ("highs" default) ground for 55
+    # minutes without finishing while IPM solved in ~8 — try both.
+    for method in ("highs", "highs-ipm"):
+        res = linprog(
+            problem.c,
+            A_ub=-G if G.shape[0] else None,
+            b_ub=-h if G.shape[0] else None,
+            A_eq=A if A.shape[0] else None,
+            b_eq=b if A.shape[0] else None,
+            bounds=bounds, method=method,
+            options={"time_limit": time_limit},
+        )
+        if res.status == 0:
+            break
+    if res is None or res.status != 0:
         return None
     obj = float(res.fun) + getattr(problem, "obj_offset", 0.0)
     if name:

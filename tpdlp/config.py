@@ -140,6 +140,12 @@ class SolverConfig:
     #: correction solve's relative tolerance is derived from this and the
     #: correction problem's own norms (floored at fp32's ~2e-7 reach).
     refine_round_factor: float = 1e-3
+    #: Per-round KKT-pass budget for the correction solves; 0 = the auto
+    #: rule max(4000, 3 * stage-1 passes).  The auto rule starves hard
+    #: instances when the coarse stage was cheap (a 1e-4 stage-1 on
+    #: mittelmann-l takes ~1.3k passes, flooring rounds at 4k while the
+    #: corrections there need tens of thousands to move the gap).
+    refine_round_kkt: int = 0
     refine_max_rounds: int = 10
     #: Zoomed bounds are clipped to [-clip, +clip] in the correction LP:
     #: bounds further than clip/alpha from the incumbent cannot bind for

@@ -531,7 +531,17 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
         # legitimately end at KKT_LIMIT — whatever it achieved still
         # multiplies the outer precision.  Fold and continue; the fp64
         # outer measurement is the only judge of progress.
-        round_kkt = min(kkt_left, max(4000, 3 * s1.kkt_passes))
+        # Auto round budget: 3x the coarse stage, but never below a
+        # max_kkt-proportional floor — a cheap coarse stage (e.g. a 1e-4
+        # stage-1 on a hard instance) must not starve the corrections
+        # (observed on mittelmann-l: 4k-pass rounds left the gap frozen
+        # at -0.45 across every round; 30k-pass rounds close it and land
+        # the objective 3e-9 from the HiGHS optimum).
+        round_kkt = min(
+            kkt_left,
+            cfg.refine_round_kkt
+            or max(4000, 3 * s1.kkt_passes, cfg.max_kkt // 12),
+        )
         inner_cfg = base.replace(
             tol=inner_tol,
             max_kkt=round_kkt,
