@@ -226,6 +226,47 @@ def test_fresh_products_certifies_despite_noisy_steps(rng):
     assert res.dual_res <= 2 * tol * (1 + c_norm)
 
 
+def test_band_fast_product_routing(rng, monkeypatch):
+    """BandOp's fast products: the XLA einsum path serves steps only when
+    on TPU, fp32, slabs within the VMEM budget, and the exact Pallas path
+    is active; everything else falls back to the exact products."""
+    import scipy.sparse as sp
+
+    from tpdlp.ops import band as band_mod
+    from tpdlp.ops.band import BandOp
+
+    n = 512
+    diags = [rng.standard_normal(n), rng.standard_normal(n - 3)]
+    K = sp.diags(diags, [0, 3], shape=(n, n), format="csr")
+    op = BandOp.from_scipy(K, jnp.float32)
+    assert op is not None
+    # CPU: no fast path.
+    assert not op.has_fast_products
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    mv_exact = np.asarray(op.mv(x))  # before the backend patch: XLA path
+    np.testing.assert_allclose(np.asarray(op.mv_fast(x)), mv_exact,
+                               rtol=0, atol=0)
+    # Pretend-TPU: fast path turns on within the budget... (mv itself
+    # would now route to the un-lowerable Pallas kernel, so only the
+    # fast path — which must pick matvec_xla — is exercised here)
+    monkeypatch.setattr(band_mod.jax, "default_backend", lambda: "tpu")
+    assert op.has_fast_products
+    np.testing.assert_allclose(np.asarray(op.mv_fast(x)), mv_exact,
+                               rtol=1e-6, atol=1e-6)
+    # ...but not above the VMEM budget, with fp64, or when the exact
+    # kernel is disabled (sharded operators).
+    monkeypatch.setattr(BandOp, "_FAST_VMEM_BUDGET", 8)
+    assert not op.has_fast_products
+    monkeypatch.undo()
+    monkeypatch.setattr(band_mod.jax, "default_backend", lambda: "tpu")
+    import dataclasses
+
+    op_sharded = dataclasses.replace(op, use_pallas=False)
+    assert not op_sharded.has_fast_products
+    op64 = BandOp.from_scipy(K, jnp.float64)
+    assert not op64.has_fast_products  # fp64: no fast path
+
+
 def test_step_products_config_validation():
     with pytest.raises(ValueError):
         SolverConfig(step_products="mxu")

@@ -367,6 +367,42 @@ class BandOp(LinOp):
     def rmv(self, y):
         return self.bwd.matvec(y, use_pallas=self.use_pallas)
 
+    #: Throughput step products (cfg.step_products, see ops/base.py).
+    #: Inside a blocked cycle XLA keeps the take+einsum path's slab
+    #: arrays VMEM-RESIDENT when they fit (v5e: 128 MB VMEM), which the
+    #: per-call Pallas kernel can never be — measured on the 16384^2
+    #: bandwidth-145 fixture (51 MB slabs): einsum-resident 49.5k it/s
+    #: vs pallas-streaming 14.9k (tol=1e-4 blocked solve, same k).  The
+    #: einsum is reduced-precision on this backend (the MXU dot ignores
+    #: precision flags), so it serves STEPS only; mv/rmv stay the exact
+    #: VPU kernel and restart checks refresh carried products through
+    #: them (loop.py::_fresh_products).  Above the VMEM budget the
+    #: einsum would just stream slower than the kernel (473 vs 613-680
+    #: GB/s), so fast falls back to exact there.
+    _FAST_VMEM_BUDGET = 100 * 1024 * 1024
+
+    def _fast_ok(self) -> bool:
+        return (
+            self.use_pallas
+            and jax.default_backend() == "tpu"
+            and jnp.dtype(self.dtype).itemsize <= 4
+            and self.stored_bytes() <= self._FAST_VMEM_BUDGET
+        )
+
+    def mv_fast(self, x):
+        if self._fast_ok():
+            return self.fwd.matvec_xla(x)
+        return self.mv(x)
+
+    def rmv_fast(self, y):
+        if self._fast_ok():
+            return self.bwd.matvec_xla(y)
+        return self.rmv(y)
+
+    @property
+    def has_fast_products(self) -> bool:
+        return self._fast_ok()
+
     def mm(self, X):
         return self.fwd.matmat(X)
 

@@ -26,6 +26,16 @@ Both K and K' are materialised in this layout (transposed gathers are
 hostile on TPU; the reference also precomputes its transpose,
 PDLP/util.py:50,63).
 
+Precision caveat: the tile einsum goes through the backend's MXU dot,
+which on the axon TPU is reduced-precision (~1e-5 relative) and ignores
+`Precision.HIGHEST` (see ops/dense.py).  Unlike the dense and band
+layouts this op has no exact-fp32 twin (the Pallas ELL kernel lost
+decisively and was removed), so block-ELL certification on that backend
+is sound for tol >= ~1e-4 only; tighter tolerances on unstructured
+sparse route through iterative refinement whose fp64 HOST residuals are
+the judge (solver/refine.py) — the device products only need to be good
+enough for the inner solves' loose tolerances.
+
 Bandwidth model: bytes/iteration ~ 2 * mb * W * 8 * 128 * 4; the layout
 beats dense streaming whenever the achieved fill (nnz / padded entries)
 beats the dense density — `fill_ratio()` reports it, and the autotuner
