@@ -63,6 +63,7 @@ from tpdlp.io.generator import (
 )
 from tpdlp.io.writer import write_mps
 from tpdlp.timer import Timer, profile_trace
+from tpdlp.compat import pdhg_solver, restarted_solver, pdlp_solver
 
 __version__ = "0.1.0"
 
