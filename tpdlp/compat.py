@@ -25,10 +25,19 @@ their signatures):
   semantics, tolerances and the returned triple are identical, the
   iterate path is at least as good.
 - ``max_iter`` budgets are enforced in KKT passes (the reference's own
-  work metric, one pass >= one iteration), so an iteration budget is
-  never exceeded.
-- The reference prints the device banner and first 10 minimizer entries
-  when verbose; these prints are reproduced at the same verbosity.
+  work metric; one pass >= one iteration because restart checks and
+  adaptive retries also count passes), so an iteration budget is never
+  exceeded — a budget-limited run may therefore stop EARLIER than the
+  reference's, never later.  Callers tuning ``max_iter`` as an exact
+  iteration count should pass a proportionally larger value (roughly
+  ``max_iter * 1.1`` covers the restart-check overhead at the default
+  period).
+- The reference prints the device banner and result block
+  unconditionally in ``pdhg_solver`` (Packages/pdhg_solver.py:23,26,
+  47-50) and gates nothing on verbosity; here ALL prints (banner and
+  result block, in every entry) are gated on ``verbose`` so these
+  functions are usable as libraries.  Pass ``verbose=True`` (the
+  default) for reference-identical output.
 """
 
 from __future__ import annotations
