@@ -107,7 +107,8 @@ def run_roofline(m, n, iters, dtype_name="float32", fmt="dense",
             raise ValueError(f"unknown format {fmt!r}")
 
     mask = jnp.asarray(np.arange(problem.m) < problem.m_ineq)
-    pb, st = _prepare(op, c, q, l, u, mask, jax.random.PRNGKey(seed), cfg)
+    pb, st = _prepare(op, c, q, l, u, mask, jax.random.PRNGKey(seed),
+                      jnp.asarray(float("nan"), c.dtype), cfg)
     st.x.block_until_ready()
 
     # Warm (compile both chunk lengths), then two-point fit from a warm

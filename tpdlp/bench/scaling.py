@@ -53,7 +53,8 @@ def _build(problem, mesh, dtype, cfg):
         op = DenseOp(jnp.asarray(K))
         c, q, l, u = (jnp.asarray(v) for v in (c, q, l, u))
     pb, st = _prepare(
-        op, c, q, l, u, jnp.asarray(mask), jax.random.PRNGKey(0), cfg
+        op, c, q, l, u, jnp.asarray(mask), jax.random.PRNGKey(0),
+        jnp.asarray(float("nan"), dtype), cfg,
     )
     if mesh is not None:
         pb = shard_device_problem(pb, mesh)

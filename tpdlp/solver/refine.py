@@ -166,7 +166,8 @@ def _elastic_form(K_aug):
 
 
 def _active_set_polish(K64, c, q, l, u, m_ineq, xh, yh, res,
-                       q_norm, c_norm, tol, *, eps_rel):
+                       q_norm, c_norm, tol, *, eps_rel, gap_target=0.0,
+                       max_passes=16, max_outer=3):
     """Crossover-style host-fp64 polish of the incumbent pair.
 
     First-order iterates approach the optimal face geometrically slowly
@@ -176,17 +177,64 @@ def _active_set_polish(K64, c, q, l, u, m_ineq, xh, yh, res,
     least-squares solve (LSMR, host fp64) jumps the pair the rest of the
     way — the same finishing move simplex crossover performs after
     barrier.  The guess is only trusted AFTER the fact: the caller folds
-    the candidate through the honest fp64 residual guards, so a
-    misidentified set costs one rejected attempt, never a regression.
+    the candidates through the honest fp64 residual guards and tracks
+    primal/dual incumbent pools, so a misidentified set costs one
+    rejected attempt, never a regression.
 
-    Primal: at-bound coordinates snap exactly to their bound; interior
-    coordinates absorb the tight rows' residual via LSMR on
-    K[tight][:, interior].  Dual: slack inequality rows get y = 0;
+    Structure: up to `max_outer` self-iterations of
+
+      classify -> dual repair -> primal snap+absorb -> reclassify,
+
+    where the RECLASSIFICATION runs on the snapped primal candidate.  A
+    PDHG incumbent can converge to the middle of the optimal face, where
+    many coordinates sit an ambiguous 1e-4..1e-2 from their bounds and
+    no single threshold classifies them (measured on mittelmann-s:
+    incumbents from different fold histories, identical residuals, one
+    repairable and one not); after one snap+absorb pass the candidate
+    sits essentially on a vertex, and the second pass's classification
+    is decisive.
+
+    Dual repair (per outer pass): slack inequality rows get y = 0;
     tight/equality rows solve the interior columns' stationarity
-    K[tight][:, interior]' y = c[interior] (then y_ineq >= 0 projection).
+    K[tight][:, interior]' y = c[interior] by LSMR, inside a greedy
+    degeneracy-repair loop.  Near-degenerate columns (x a hair inside a
+    bound whose true multiplier is nonzero, |lambda*| ~ gap-scale) make
+    the system inconsistent, and the least-squares residual r0 — which
+    lies in null(B) — SPREADS that inconsistency across all interior
+    columns; the dual value then loses sum_j dist_j*|r0_j|, which is
+    exactly the gap floor the round-3 artifacts froze at (-3.0e-3 on
+    mittelmann-s from 3 such columns).  Moves, one per pass, all judged
+    by the candidate's TRUE dual value g(y) = q'y + l'lam+ + u'lam-
+    (an interior-residual metric alone is blind to the value carried by
+    at-bound and dropped columns):
 
-    Returns (x_cand, y_cand, matvec_count) — candidates in the original
-    frame, untouched incumbents when a side has nothing to do.
+      * column drop — the interior column with the best constraint
+        relief per unit gap cost |r0_j|/dist_j moves to the bound its
+        residual sign points at (r0_j > 0 means lambda_j > 0, a
+        lower-bound column); the analytic optimum of min sum dist|r|
+        over the achievable-residual coset when corank(B) = 1.  On the
+        mittelmann-s stall this finds exactly the 3 degenerate columns
+        in 3 passes (raw-|r0| ranking puts them at position ~760) and
+        lands the gap at -1.7e-6, matching the HiGHS optimal dual.
+      * row add — slack-side degeneracy is symmetric: a marginally
+        slack inequality row whose true dual y*_i > 0 classified out of
+        the tight set leaves the system short a degree of freedom no
+        column drop restores.  Matching pursuit over rows with slack
+        under 1e-2*(1+|q_i|) picks the best residual-correlated row;
+        tried whenever the previous move failed to improve the value.
+      * row remove — tight inequality rows whose dual comes back
+        negative move to the slack set (the end projection would
+        silently break stationarity otherwise); a ban list stops
+        add/remove cycling.
+
+    Primal (per outer pass): at-bound coordinates (including repaired
+    columns) snap exactly to their bound; interior coordinates absorb
+    the tight rows' residual via LSMR on the final block.
+
+    Returns (x_cand, y_cand, matvec_count): the best primal candidate
+    (by feasibility, then objective) and best dual candidate (by value)
+    over all passes — the two sides are independently valid, so they
+    need not come from the same pass.
     """
     from scipy.sparse.linalg import lsmr
 
@@ -195,59 +243,175 @@ def _active_set_polish(K64, c, q, l, u, m_ineq, xh, yh, res,
     Kr = K64.tocsr() if sparse else K64
 
     span = np.where(np.isfinite(u) & np.isfinite(l), u - l, np.inf)
-    d_lo = xh - l  # >= 0 (incumbent is kept clipped to the box)
-    d_hi = u - xh
-    thr_x = eps_rel * (1.0 + np.abs(xh))
-    at_lo = d_lo <= np.minimum(thr_x, 0.45 * span)
-    at_hi = (d_hi <= np.minimum(thr_x, 0.45 * span)) & ~at_lo
-    interior = ~(at_lo | at_hi)
-
-    # Row activity from the raw residual (rp_vec = q - K x): an
-    # inequality row is slack when K x exceeds q by more than the
-    # tolerance band.
-    thr_r = eps_rel * (1.0 + np.abs(q))
-    slack_ineq = np.zeros(m, dtype=bool)
-    slack_ineq[:m_ineq] = res.rp_vec[:m_ineq] < -thr_r[:m_ineq]
-    tight = ~slack_ineq
-
-    n_int = int(interior.sum())
-    n_tight = int(tight.sum())
-    x_cand = xh.copy()
-    x_cand[at_lo] = l[at_lo]
-    x_cand[at_hi] = u[at_hi]
-    y_cand = yh.copy()
-    y_cand[slack_ineq] = 0.0
-    if not (n_int and n_tight):
-        return x_cand, y_cand, 0
-
-    # One shared submatrix serves both solves: the tight rows x interior
-    # columns block B.  Primal: B d = (q - K x)_tight.  Dual (interior
-    # stationarity, slack duals already zero): B' y_tight = c_interior.
-    B = (Kr[tight.nonzero()[0]][:, interior.nonzero()[0]] if sparse
-         else Kr[np.ix_(tight, interior)])
-    nnz_frac = (B.nnz / max(K64.nnz, 1)) if sparse else (
-        B.size / max(m * n, 1)
-    )
+    neg_inf_l = np.isneginf(l)
+    pos_inf_u = np.isposinf(u)
+    l_dual = np.where(neg_inf_l, 0.0, l)
+    u_dual = np.where(pos_inf_u, 0.0, u)
     matvecs = 0.0
 
-    # atol/btol at fp64 working precision: the fold guard judges the
-    # outcome, LSMR just has to get close.
-    r_t = q[tight] - Kr[tight.nonzero()[0]] @ x_cand if sparse \
-        else q[tight] - Kr[tight] @ x_cand
-    out = lsmr(B, r_t, atol=1e-14, btol=1e-14, maxiter=400)
-    matvecs += 2 * int(out[2]) * nnz_frac + 1
-    x_int = x_cand[interior] + out[0]
-    x_cand[interior] = np.clip(x_int, l[interior], u[interior])
+    def _dual_value(y):
+        lam = _project_lambda_box(c - K64.T @ y, neg_inf_l, pos_inf_u)
+        return float(
+            q @ y + l_dual @ np.maximum(lam, 0.0)
+            + u_dual @ np.minimum(lam, 0.0)
+        )
 
-    # Solve from scratch (not a delta): the incumbent dual is itself the
-    # obstacle, and LSMR returns the minimum-norm solution of the
-    # underdetermined stationarity system.
-    out = lsmr(B.T, c[interior], atol=1e-14, btol=1e-14, maxiter=400)
-    matvecs += 2 * int(out[2]) * nnz_frac
-    y_full = np.zeros(m)
-    y_full[tight.nonzero()[0]] = out[0]
-    y_full[:m_ineq] = np.maximum(y_full[:m_ineq], 0.0)
-    return x_cand, y_full, int(np.ceil(matvecs))
+    best_x = (np.inf, np.inf, xh)   # (primal_res, prim_obj, x)
+    best_y = (-np.inf, yh)          # (dual value, y)
+    x_work = xh.copy()
+    rp_vec = res.rp_vec  # q - K x for the incumbent
+
+    for outer in range(max_outer):
+        # ---- classification from the current primal point ----
+        d_lo = x_work - l
+        d_hi = u - x_work
+        thr_x = eps_rel * (1.0 + np.abs(x_work))
+        at_lo = d_lo <= np.minimum(thr_x, 0.45 * span)
+        at_hi = (d_hi <= np.minimum(thr_x, 0.45 * span)) & ~at_lo
+        interior = ~(at_lo | at_hi)
+        thr_r = eps_rel * (1.0 + np.abs(q))
+        slack_ineq = np.zeros(m, dtype=bool)
+        slack_ineq[:m_ineq] = rp_vec[:m_ineq] < -thr_r[:m_ineq]
+        tight = ~slack_ineq
+        if not (int(interior.sum()) and int(tight.sum())):
+            break
+        slack_amt = np.maximum(-rp_vec[:m_ineq], 0.0) if m_ineq else None
+        banned_rows = np.zeros(m_ineq, dtype=bool)
+        # The primal snap+absorb must enforce only rows that are tight
+        # for the PRIMAL point: the dual repair below may re-add
+        # marginally-slack rows to its own tight set (a dual degree of
+        # freedom), and forcing K_i x = q_i on a genuinely slack row
+        # would push the primal off the feasible set (measured: pres
+        # 3e-1 after absorbing a dual-added slack-0.23 row).
+        tight_primal = tight.copy()
+
+        def _block():
+            return (Kr[tight.nonzero()[0]][:, interior.nonzero()[0]]
+                    if sparse else Kr[np.ix_(tight, interior)])
+
+        def _nnz_frac(Bm):
+            return (Bm.nnz / max(K64.nnz, 1)) if sparse else (
+                Bm.size / max(m * n, 1)
+            )
+
+        # ---- dual repair loop ----
+        y_warm = None
+        no_gain = 0
+        pass_val = -np.inf
+        B = _block()
+        for _ in range(max_passes):
+            ii = interior.nonzero()[0]
+            # atol/btol at fp64 working precision: the value tracking
+            # judges the outcome, LSMR just has to get close.  maxiter
+            # must reach actual convergence (round 3's 400 returned a
+            # 6e-3-residual transient).
+            out = lsmr(B.T, c[ii], atol=1e-14, btol=1e-14, maxiter=5000,
+                       x0=y_warm)
+            matvecs += 2 * int(out[2]) * _nnz_frac(B)
+            y_warm = out[0]
+            r0 = c[ii] - B.T @ y_warm
+            matvecs += _nnz_frac(B)
+            ti = tight.nonzero()[0]
+            # Row remove: negative duals on tight inequality rows.
+            neg = np.zeros(m, dtype=bool)
+            neg[ti] = y_warm < -1e-9
+            neg[m_ineq:] = False
+            if int(neg.sum()) and int(neg.sum()) <= max_passes:
+                slack_ineq |= neg
+                banned_rows |= neg[:m_ineq]
+                tight = ~slack_ineq
+                B = _block()
+                y_warm = None
+                continue
+            y_full = np.zeros(m)
+            y_full[ti] = y_warm
+            y_full[:m_ineq] = np.maximum(y_full[:m_ineq], 0.0)
+            val = _dual_value(y_full)
+            matvecs += 1.0
+            if val > best_y[0]:
+                best_y = (val, y_full)
+            if val > pass_val:
+                pass_val = val
+                no_gain = 0
+            else:
+                no_gain += 1
+            dist = np.where(r0 > 0, d_lo[ii], d_hi[ii])
+            loss = float(np.sum(dist * np.abs(r0)))
+            _dbg(f"polish-dual[{outer}]: int={len(ii)} "
+                 f"tight={int(tight.sum())} normr={float(out[3]):.2e} "
+                 f"loss={loss:.3e} val={val:.9e} "
+                 f"gap~{res.prim_obj - val:.3e} lsmr_it={int(out[2])}")
+            if res.prim_obj - val <= max(gap_target, 1e-12) \
+                    or loss <= max(gap_target, 1e-12) \
+                    or no_gain >= 3:
+                break
+            moved = False
+            if no_gain >= 1 and m_ineq:
+                cand = (slack_ineq[:m_ineq] & ~banned_rows
+                        & (slack_amt <= 1e-2 * (1.0 + np.abs(q[:m_ineq]))))
+                si = cand.nonzero()[0]
+                if len(si):
+                    Bs = Kr[si][:, ii]
+                    corr = np.abs(Bs @ r0)
+                    rnorm = (np.sqrt(Bs.multiply(Bs).sum(axis=1)).A1
+                             if sparse else np.linalg.norm(Bs, axis=1))
+                    matvecs += _nnz_frac(Bs)
+                    score = corr / np.maximum(rnorm, 1e-12)
+                    i = int(np.argmax(score))
+                    if score[i] > 1e-12:
+                        ri = si[i]
+                        _dbg(f"polish-addrow: row={ri} "
+                             f"score={score[i]:.2e} "
+                             f"slack={slack_amt[ri]:.2e}")
+                        slack_ineq[ri] = False
+                        banned_rows[ri] = True  # one shot per outer pass
+                        tight = ~slack_ineq
+                        y_warm = None
+                        moved = True
+            if not moved:
+                eff = np.abs(r0) / np.maximum(dist, 1e-12)
+                j = int(np.argmax(eff))
+                cj = ii[j]
+                _dbg(f"polish-drop: col={cj} r0={r0[j]:.2e} "
+                     f"dist={dist[j]:.2e}")
+                if r0[j] > 0:
+                    at_lo[cj] = True
+                else:
+                    at_hi[cj] = True
+                interior[cj] = False
+            B = _block()
+
+        # ---- primal snap + absorb on the final column classification,
+        # with the PRIMAL row set (see tight_primal above) ----
+        x_cand = x_work.copy()
+        x_cand[at_lo] = l[at_lo]
+        x_cand[at_hi] = u[at_hi]
+        if int(interior.sum()):
+            ti = tight_primal.nonzero()[0]
+            Bp = (Kr[ti][:, interior.nonzero()[0]] if sparse
+                  else Kr[np.ix_(tight_primal, interior)])
+            r_t = q[ti] - Kr[ti] @ x_cand
+            out = lsmr(Bp, r_t, atol=1e-14, btol=1e-14, maxiter=5000)
+            matvecs += 2 * int(out[2]) * _nnz_frac(Bp) + 1
+            ii = interior.nonzero()[0]
+            x_cand[ii] = np.clip(x_cand[ii] + out[0], l[ii], u[ii])
+        rp_cand = q - K64 @ x_cand
+        matvecs += 1.0
+        pres = float(np.linalg.norm(np.concatenate([
+            np.maximum(rp_cand[:m_ineq], 0.0), rp_cand[m_ineq:],
+        ])))
+        pobj = float(c @ x_cand)
+        _dbg(f"polish-primal[{outer}]: pres={pres:.2e} pobj={pobj:.9e}")
+        if (pres, pobj) < (best_x[0], best_x[1]):
+            best_x = (pres, pobj, x_cand)
+        if pres > 10.0 * max(res.primal_res, 1e-12):
+            break  # the snap is drifting; stop re-feeding it
+        x_work = x_cand
+        rp_vec = rp_cand
+        if res.prim_obj - best_y[0] <= max(gap_target, 1e-12):
+            break  # dual already certifies against the incumbent primal
+
+    return best_x[2], best_y[1], int(np.ceil(matvecs))
 
 
 def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
@@ -289,6 +453,10 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
     c_norm = float(np.linalg.norm(c))
 
     kw.setdefault("op_cache", {})
+    # Inner solves are judged by this loop's fp64 HOST residuals, so
+    # noisy MXU products at tight tolerances are acceptable there —
+    # suppress solve()'s explicit-fp32 sparse guard.
+    kw["_noisy_products_ok"] = True
 
     auto = cfg.escalation_scheme == "auto" and cfg.step_scheme == "vanilla"
     base = cfg.replace(adaptive=True) if (auto and not cfg.adaptive) else cfg
@@ -334,6 +502,46 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
             history=history,
         )
 
+    # ---- independent primal/dual incumbent pools.  The primal and dual
+    # searches are separable: any primal-feasible x and dual-feasible y
+    # form a valid certificate pair regardless of which round produced
+    # them, and the gap criterion only needs their VALUES.  Coupling
+    # them through one joint score (round 3) discarded near-optimal
+    # dual candidates whenever the primal of the same round was still
+    # coarse — the polish routinely produces an optimal dual several
+    # rounds before the primal settles.  Feasibility gates use the
+    # termination criteria themselves, so a certified mixed pair is by
+    # construction a Solved pair. ----
+    best_pr = None  # (primal_res, prim_obj, x)
+    best_du = None  # (dual_res, adjusted_dual, y)
+
+    def _pool_primal(x, pres, pobj):
+        nonlocal best_pr
+        if pres <= cfg.tol * (1.0 + q_norm):
+            if best_pr is None or pobj < best_pr[1]:
+                best_pr = (pres, pobj, np.array(x))
+
+    def _pool_dual(y, dres, dval):
+        nonlocal best_du
+        if dres <= cfg.tol * (1.0 + c_norm):
+            if best_du is None or dval > best_du[1]:
+                best_du = (dres, dval, np.array(y))
+
+    def _update_pools(x, y, r):
+        _pool_primal(x, r.primal_res, r.prim_obj)
+        _pool_dual(y, r.dual_res, r.adjusted_dual)
+
+    def _mixed_pair():
+        """The cross-round (best-primal, best-dual) pair, if it certifies
+        the gap criterion on cached values (no extra SpMV)."""
+        if best_pr is None or best_du is None:
+            return None
+        gap = best_du[1] - best_pr[1]
+        g = abs(gap) if cfg.abs_gap_termination else gap
+        if g <= cfg.tol * (1.0 + abs(best_pr[1]) + abs(best_du[1])):
+            return best_pr[2], best_du[2]
+        return None
+
     alpha_p = 1.0
     alpha_d = 1.0
     # Trust regions on the zooms: shrink when a fold is rejected or
@@ -346,6 +554,14 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
     # growing it on measured success loses nothing.
     ap_limit = 1e28
     ad_limit = 1e28
+    zc_factor = 1.0  # widens the correction clip window on dual-fold
+    # failure (see the zc comment in the round loop)
+    round_boost = 1  # doubles the per-round budget on dual-fold failure:
+    # the dual fold quality is a steep function of inner passes (measured
+    # on the mittelmann-s stall: 20k -> gap 2.6e-3, 30k -> 7.8e-4,
+    # 120k -> 6.4e-5 = certified), so a stalled dual needs a BIGGER
+    # round, not more small ones (small re-zoomed rounds do not compound
+    # — measured: two 20k rounds end where one started).
     best = None  # (score, xh, yh, res)
     stall = 0
     res = None
@@ -363,6 +579,7 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
         yh[:m_ineq] = np.maximum(yh[:m_ineq], 0.0)  # the fp64 sum there too
         res = host_residuals(K64, c, q, l, u, m_ineq, xh, yh)
         j_total += 1  # the host SpMV pair above is one KKT pass of work
+        _update_pools(xh, yh, res)
         score = _score(res)
 
         # ---- crossover-style active-set polish (host fp64, guarded).
@@ -373,16 +590,20 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
         # attempt and nothing else. ----
         if cfg.refine_polish and res.primal_res <= 1e-3 * (1.0 + q_norm):
             _dbg("polish: start")
+            gap_target = 0.05 * cfg.tol * (
+                1.0 + abs(res.prim_obj) + abs(res.adjusted_dual)
+            )
             for eps_rel in (1e-5, 1e-7):
                 x_c, y_c, mv = _active_set_polish(
                     K64, c, q, l, u, m_ineq, xh, yh, res, q_norm, c_norm,
-                    cfg.tol, eps_rel=eps_rel,
+                    cfg.tol, eps_rel=eps_rel, gap_target=gap_target,
                 )
                 j_total += (mv + 1) // 2
                 cand_best = None
                 for xx, yy in ((x_c, y_c), (x_c, yh), (xh, y_c)):
                     r2 = host_residuals(K64, c, q, l, u, m_ineq, xx, yy)
                     j_total += 1
+                    _update_pools(xx, yy, r2)
                     s2 = _score(r2)
                     if cand_best is None or s2 < cand_best[0]:
                         cand_best = (s2, xx, yy, r2)
@@ -392,6 +613,8 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
                     if _terminated(res, q_norm, c_norm, cfg.tol,
                                    cfg.abs_gap_termination):
                         break  # certified; the check below returns
+                if _mixed_pair() is not None:
+                    break  # cross-round pool certified; checked below
         if history is not None:
             history.append({
                 "refine_round": rnd, "j": j_total,
@@ -412,11 +635,23 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
         if _terminated(res, q_norm, c_norm, cfg.tol,
                        cfg.abs_gap_termination):
             return _result(res, Status.SOLVED)
-        if stall >= 3:
+        pair = _mixed_pair()
+        if pair is not None:
+            # Cross-round certificate: re-measure the mixed pair honestly
+            # before reporting (one host SpMV pair).
+            r_mix = host_residuals(K64, c, q, l, u, m_ineq, *pair)
+            j_total += 1
+            if _terminated(r_mix, q_norm, c_norm, cfg.tol,
+                           cfg.abs_gap_termination):
+                xh, yh, res = pair[0], pair[1], r_mix
+                return _result(r_mix, Status.SOLVED)
+        if stall >= 3 and round_boost >= 8:
             break  # three rounds without even a 1.7x combined-score
-            # improvement: the fp32 inner solver has hit its floor on
-            # this instance; stop burning budget and report the best
-            # incumbent below.
+            # improvement AND the budget-boost ladder is exhausted: the
+            # fp32 inner solver has hit its floor on this instance; stop
+            # burning budget and report the best incumbent below.
+            # (While boosts remain, a "stalled" dual is expected — the
+            # next, bigger round is the designed response.)
         if time.perf_counter() - start + time_used >= cfg.time_limit:
             _, xh, yh, res = best
             return _result(res, Status.TIME_LIMIT)
@@ -466,7 +701,24 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
         # solve casts to fp32).  Bounds beyond +-clip cannot bind for an
         # O(1) zoomed correction; clipping keeps every scale O(clip),
         # which is what conditions the fp32 inner solve. ----
-        zc = cfg.refine_clip
+        # The clip window must cover the incumbent's true distance to the
+        # optimal face, and DEGENERACY hides that distance from every
+        # residual/gap measure: coordinates whose true multiplier is ~0
+        # can sit arbitrarily far (measured 8e-3 on mittelmann-s) while
+        # contributing nothing to the gap, and a window that cuts them
+        # off makes its artificial bounds active in the correction —
+        # which poisons the correction's DUAL outright (measured: the
+        # exact HiGHS dual of a zc=100 correction folds to zero gap
+        # improvement; zc=1000 folds to gap -3.6e-12).  The primal fold
+        # is insensitive to the window (it re-centers every round), so
+        # the window widens on measured dual-fold failure (see _attempt)
+        # rather than by default.
+        if res.primal_res <= cfg.tol * (1.0 + q_norm) and zc_factor < 10.0:
+            # Dual-dominant round (primal already certifies): the wide
+            # window is measured-necessary for the dual — skip the wasted
+            # narrow-window attempt.
+            zc_factor = 10.0
+        zc = cfg.refine_clip * zc_factor
         kty = K64.T @ yh
         # Gleixner's correction objective is the FULL zoomed reduced-cost
         # vector (x-columns: c - K'y^; slack columns: y^_ineq) — bound
@@ -539,18 +791,24 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
         # the objective 3e-9 from the HiGHS optimum).
         round_kkt = min(
             kkt_left,
-            cfg.refine_round_kkt
-            or max(4000, 3 * s1.kkt_passes, cfg.max_kkt // 12),
+            (cfg.refine_round_kkt
+             or max(4000, 3 * s1.kkt_passes, cfg.max_kkt // 12))
+            * round_boost,
         )
         inner_cfg = base.replace(
             tol=inner_tol,
             max_kkt=round_kkt,
-            # Tight-tolerance solves are where the Halpern-anchored
-            # scheme wins (the same policy the fp64 tail uses — see
-            # _solve_escalated); apply it to the correction solves when
-            # the user left the scheme at vanilla.
+            # Corrections run vanilla-adaptive with Ruiz+Pock-Chambolle
+            # scaling when the user left the scheme at vanilla: measured
+            # head-to-head on the mittelmann-s correction (30k passes),
+            # the dual fold lands at gap 7.7e-4 under vanilla+ruiz+pc vs
+            # 9.9e-4 halpern+ruiz+pc vs 1.1e-3 halpern+ruiz — and
+            # ruiz+pc beats plain ruiz under both schemes.  (Halpern
+            # remains the fp64-tail policy in _solve_escalated, where it
+            # was measured fastest.)
             **(
-                {"step_scheme": "halpern", "adaptive": False}
+                {"step_scheme": "vanilla", "adaptive": True,
+                 "scaling": "ruiz+pc"}
                 if auto
                 else {}
             ),
@@ -560,6 +818,13 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
             # The correction LP is an artificial re-centering: its duality
             # gap can be transiently one-sided, so use |gap| termination.
             abs_gap_termination=True,
+            # Exact step products always: inner_tol's 1e-4 cap lands on
+            # the step_products="auto" boundary where steps would take
+            # the noisy MXU path, and the correction DUAL collapses at
+            # that noise floor (measured: a 94k-pass noisy-product round
+            # folds to a rejected dual; a 30k exact-product round folds
+            # to gap 7.8e-4).
+            step_products="exact",
             # Corrections of a feasible/bounded problem are feasible and
             # bounded; ray "certificates" here would only reflect the
             # zoomed frame, so keep the detector off.
@@ -569,12 +834,17 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
             """One correction solve + guarded fold.  Returns
             (accepted_primal, accepted_dual, inner_status)."""
             nonlocal xh, yh, k_total, n_total, j_total, ap_limit, \
-                ad_limit, history
+                ad_limit, zc_factor, round_boost, history
             corr = LPProblem(
                 c=c2, K=K_mat, q=q_t, m_ineq=0, l=l2, u=u2,
                 name=f"{problem.name}+refine{rnd}",
             )
             _dbg(f"inner solve: shape={K_mat.shape} tol={inner_cfg.tol:.1e} budget={inner_cfg.max_kkt}")
+            dump = os.environ.get("TPDLP_REFINE_DUMP")
+            if dump:
+                np.savez(f"{dump}_r{rnd}.npz", c2=c2, q_t=q_t, l2=l2,
+                         u2=u2, xh=xh, yh=yh, alpha_p=alpha_p,
+                         alpha_d=alpha_d, zc=zc)
             r = solve_fn(corr, inner_cfg, dtype=jnp.float32,
                          matrix_format=corr_format, **kw)
             _dbg(f"inner done: {r.status_string} j={r.kkt_passes} t={r.solve_time:.1f}s")
@@ -599,7 +869,9 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
             rp_new = q - K64 @ x_cand
             rp_new = np.concatenate([np.maximum(rp_new[:m_ineq], 0.0),
                                      rp_new[m_ineq:]])
-            ok_p = float(np.linalg.norm(rp_new)) <= res.primal_res
+            pres_new = float(np.linalg.norm(rp_new))
+            _pool_primal(x_cand, pres_new, float(c @ x_cand))
+            ok_p = pres_new <= res.primal_res
             if ok_p:
                 xh = x_cand
                 ap_limit = min(ap_limit * 4.0, 1e28)
@@ -618,6 +890,7 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
                 + u_dual @ np.minimum(lam_new, 0.0)
             )
             rd_new = float(np.linalg.norm(grad_new - lam_new))
+            _pool_dual(y_cand, rd_new, d_new)
             # Accept the dual if it tightens |gap| against the (possibly
             # just updated) primal point without materially worsening
             # stationarity.
@@ -633,19 +906,35 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
             if ok_d and gap_new <= 0.5 * gap_old:
                 ad_limit = min(ad_limit * 8.0, 1e28)
             else:
-                # The dual made no real progress: the pin threshold
-                # cap/alpha_d undercut the true reduced-cost noise and
-                # the pinned correction could not see (or reach) the
-                # dual optimum.  Zoom out and re-identify.
-                ad_limit = max(alpha_d / 64.0, 1.0)
+                # The dual made no real progress: two measured causes,
+                # both countered.  (1) The clip window cutting off far
+                # degenerate coordinates makes artificial window bounds
+                # active and poisons the correction's DUAL (the exact
+                # HiGHS dual of a zc=100 correction folds to zero gap
+                # improvement; zc=1000 folds to gap -3.6e-12 on the same
+                # incumbent) — widen the window.  (2) The inner solve
+                # was too short: fold quality is a steep function of
+                # inner passes (20k -> 2.6e-3, 120k -> certified) —
+                # double the next round's budget.  Keep the dual zoom:
+                # round 3's alpha_d/64 backoff here nuked the zoom
+                # precisely when the dual needed it (alpha_d fell
+                # 7.8e4 -> 18 across rounds while the gap froze).
+                zc_factor = min(zc_factor * 10.0, 1e4)
+                round_boost = min(round_boost * 2, 8)
             return ok_p, ok_d, r.status
 
         ok_p, ok_d, st = _attempt(K_aug, c_t, l_t, u_t)
         if not ok_p and not ok_d and st != Status.TIME_LIMIT \
+                and res.primal_res > cfg.tol * (1.0 + q_norm) \
                 and cfg.max_kkt - j_total > 0:
-            # No accepted progress: the pinned/clipped correction may be
-            # infeasible.  Retry the round with penalty elastics (see
-            # _elastic_form), which absorb any pin/clip conflict.
+            # No accepted progress while the PRIMAL still needs work: the
+            # pinned/clipped correction may be infeasible.  Retry the
+            # round with penalty elastics (see _elastic_form), which
+            # absorb any pin/clip conflict.  (When the primal already
+            # certifies, ok_p=False is expected — a 1e-11-feasible
+            # incumbent rarely improves — and the dual stall is handled
+            # by the window/budget ladder in _attempt, so elastics would
+            # only burn a round's budget.)
             _dbg("building elastic form")
             if K_elastic is None:
                 K_elastic = _elastic_form(K_aug)
@@ -671,8 +960,17 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
     yh[:m_ineq] = np.maximum(yh[:m_ineq], 0.0)
     res = host_residuals(K64, c, q, l, u, m_ineq, xh, yh)
     j_total += 1
+    _update_pools(xh, yh, res)
     if _terminated(res, q_norm, c_norm, cfg.tol, cfg.abs_gap_termination):
         return _result(res, Status.SOLVED)
+    pair = _mixed_pair()
+    if pair is not None:
+        r_mix = host_residuals(K64, c, q, l, u, m_ineq, *pair)
+        j_total += 1
+        if _terminated(r_mix, q_norm, c_norm, cfg.tol,
+                       cfg.abs_gap_termination):
+            xh, yh, res = pair[0], pair[1], r_mix
+            return _result(r_mix, Status.SOLVED)
     if best is not None and best[0] < _score(res):
         _, xh, yh, res = best
     timed_out = time.perf_counter() - start + time_used >= cfg.time_limit

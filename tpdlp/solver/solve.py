@@ -121,9 +121,16 @@ def _build_device_problem(op, c, q, l, u, m_ineq, cfg: SolverConfig,
     )
 
 
-def eta_omega_of(pb, key, cfg: SolverConfig):
+def eta_omega_of(pb, key, cfg: SolverConfig, om0=None):
     """eta = eta_safety/||K||_2 (power iteration), omega = ||c||/||q||
-    guarded (primal_dual_hybrid_gradient.py:19-23)."""
+    guarded (primal_dual_hybrid_gradient.py:19-23).
+
+    `om0`: optional traced override scalar (NaN = use the norm rule).
+    The rule degenerates on near-zero-RHS problems — iterative
+    refinement's correction LPs have ||q~|| ~ alpha_p * primal_res -> 0
+    once the primal converges, blowing omega to ~1e7 and freezing the
+    inner solves' dual progress — so such callers pass a sane weight.
+    """
     eta0 = cfg.eta_safety / spectral_norm_estimate(
         pb.op, key, cfg.power_iters
     )
@@ -133,10 +140,14 @@ def eta_omega_of(pb, key, cfg: SolverConfig):
         (q_norm > 1e-6) & (c_norm > 1e-6), c_norm / q_norm,
         jnp.ones((), pb.c.dtype),
     )
+    if om0 is not None:
+        om0 = jnp.asarray(om0, pb.c.dtype)
+        omega0 = jnp.where(jnp.isnan(om0), omega0, om0)
     return eta0, omega0
 
 
-def _prepare_impl(op, c, q, l, u, ineq_mask, key, x0, y0, cfg: SolverConfig):
+def _prepare_impl(op, c, q, l, u, ineq_mask, key, x0, y0, cfg: SolverConfig,
+                  om0=None):
     """Whole preprocessing pipeline as one traceable function: scaling,
     mask/problem assembly, power-iteration stepsize, primal weight, state
     init.  One device dispatch instead of dozens of eager ops (which cost
@@ -160,7 +171,7 @@ def _prepare_impl(op, c, q, l, u, ineq_mask, key, x0, y0, cfg: SolverConfig):
             ineq_mask=ineq_mask,
             compat_scaled_norms=cfg.compat_scaled_norms,
         )
-    eta0, omega0 = eta_omega_of(pb, key, cfg)
+    eta0, omega0 = eta_omega_of(pb, key, cfg, om0)
     # Warm-start points arrive in the ORIGINAL coordinate frame (solve()'s
     # public contract; the reference likewise fishnets scaled data and feeds
     # the scaled solver, PDLP/main.py:106-120).  The loop iterates in the
@@ -179,28 +190,32 @@ def _prepare_impl(op, c, q, l, u, ineq_mask, key, x0, y0, cfg: SolverConfig):
 # matrix dominates the solver's footprint; donation halves it).  Callers
 # must not touch `op`'s buffers afterwards (solve() only reads .shape).
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def _prepare(op, c, q, l, u, ineq_mask, key, cfg: SolverConfig):
-    return _prepare_impl(op, c, q, l, u, ineq_mask, key, None, None, cfg)
+def _prepare(op, c, q, l, u, ineq_mask, key, om0, cfg: SolverConfig):
+    return _prepare_impl(op, c, q, l, u, ineq_mask, key, None, None, cfg,
+                         om0)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def _prepare_warm(op, c, q, l, u, ineq_mask, key, x0, y0, cfg: SolverConfig):
-    return _prepare_impl(op, c, q, l, u, ineq_mask, key, x0, y0, cfg)
+def _prepare_warm(op, c, q, l, u, ineq_mask, key, x0, y0, om0,
+                  cfg: SolverConfig):
+    return _prepare_impl(op, c, q, l, u, ineq_mask, key, x0, y0, cfg, om0)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def _prepare_run(op, c, q, l, u, ineq_mask, key, budget, cfg: SolverConfig):
+def _prepare_run(op, c, q, l, u, ineq_mask, key, budget, om0,
+                 cfg: SolverConfig):
     """Preprocessing + the first iteration chunk, fused into ONE dispatch —
     a small LP then completes in a single host round trip."""
-    pb, st = _prepare_impl(op, c, q, l, u, ineq_mask, key, None, None, cfg)
+    pb, st = _prepare_impl(op, c, q, l, u, ineq_mask, key, None, None, cfg,
+                           om0)
     return pb, run_chunk_auto_impl(st, pb, budget, cfg, aligned=True)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def _prepare_warm_run(
-    op, c, q, l, u, ineq_mask, key, x0, y0, budget, cfg: SolverConfig
+    op, c, q, l, u, ineq_mask, key, x0, y0, budget, om0, cfg: SolverConfig
 ):
-    pb, st = _prepare_impl(op, c, q, l, u, ineq_mask, key, x0, y0, cfg)
+    pb, st = _prepare_impl(op, c, q, l, u, ineq_mask, key, x0, y0, cfg, om0)
     return pb, run_chunk_auto_impl(st, pb, budget, cfg, aligned=True)
 
 
@@ -270,6 +285,25 @@ def _eta_omega_init(pb, cfg: SolverConfig, seed: int):
 def default_dtype():
     """fp64 on CPU (1e-8 work), fp32 on TPU (MXU-native; fp64 is emulated)."""
     return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+
+
+#: Tolerances at least this loose certify soundly against this backend's
+#: reduced-precision MXU products (~1e-5 relative error, ignores
+#: Precision.HIGHEST — ops/pallas_dense.py).  Dense and band layouts have
+#: exact-fp32 twins that restart checks refresh carried products through;
+#: block-ELL does NOT (ops/blocked.py "Precision caveat"), so explicit
+#: tight-tolerance sparse solves are guarded below.
+_SPARSE_SOUND_TOL = 1e-4
+
+
+def _mxu_noisy() -> bool:
+    """True when device fp32 matmuls carry MXU rounding (~1e-5 relative).
+
+    XLA-CPU fp32 dots are exact; every accelerator backend in this image
+    lowers fp32 `dot_general` to reduced-precision MXU passes.  Split out
+    for tests to monkeypatch (the suite runs on a CPU mesh).
+    """
+    return jax.default_backend() != "cpu"
 
 
 #: Emulated-fp64 solver programs above this matrix element count FAULT the
@@ -389,7 +423,11 @@ def _solve_escalated(problem, cfg: SolverConfig, **kw):
     if auto and not cfg.adaptive:
         base = cfg.replace(adaptive=True)
     coarse = base.replace(tol=max(cfg.escalation_tol, cfg.tol))
-    s1 = solve(problem, coarse, dtype=jnp.float32, **kw)
+    # The coarse stage's result is intermediate (the fp64 tail is the
+    # judge), so noisy sparse products at its sub-1e-4 tolerance are
+    # acceptable — suppress solve()'s explicit-fp32 sparse guard.
+    s1 = solve(problem, coarse, dtype=jnp.float32,
+               _noisy_products_ok=True, **kw)
     if s1.status != Status.SOLVED:
         # Infeasibility certificates, budget exhaustion and timeouts are
         # terminal as-is; there is nothing useful to refine in fp64.
@@ -471,6 +509,8 @@ def solve(
     resume: bool = False,
     log_history: bool = False,
     op_cache: Optional[dict] = None,
+    _noisy_products_ok: bool = False,
+    omega0: Optional[float] = None,
 ) -> SolveResult:
     """Solve a standard-form LP with restarted PDHG.
 
@@ -588,10 +628,24 @@ def solve(
 
     if dtype is None:
         dtype = default_dtype()
+        # Escalate below the fp32-iterate floor (escalation_tol) — and
+        # for explicit block-ELL also below the MXU-product sound
+        # envelope (_SPARSE_SOUND_TOL): ELL has no exact-fp32 product
+        # twin, so a direct tol<1e-4 sparse solve on a noisy-MXU backend
+        # would certify against ~1e-5-noisy products.  Refinement's
+        # host-fp64 residuals are the judge on that route, which keeps
+        # it sound at any tolerance.
         if (
             cfg.precision_escalation
             and dtype == jnp.float32
-            and cfg.tol < cfg.escalation_tol
+            and (
+                cfg.tol < cfg.escalation_tol
+                or (
+                    matrix_format == "sparse"
+                    and cfg.tol < _SPARSE_SOUND_TOL
+                    and _mxu_noisy()
+                )
+            )
             and x0 is None
             and y0 is None
         ):
@@ -613,6 +667,32 @@ def solve(
                     checkpoint_path=checkpoint_path, resume=resume,
                     log_history=log_history,
                 )
+
+    if (
+        not _noisy_products_ok
+        and matrix_format == "sparse"
+        and jnp.dtype(dtype) == jnp.float32
+        and cfg.tol < _SPARSE_SOUND_TOL
+        and _mxu_noisy()
+    ):
+        # Explicitly-forced fp32 block-ELL below the sound envelope: the
+        # caller opted out of the escalation reroute above (explicit
+        # dtype / warm start / escalation off), so say plainly what the
+        # certificate is worth.  Internal escalation/refinement inner
+        # solves pass _noisy_products_ok (their fp64 host residuals are
+        # the judge).
+        import warnings
+
+        warnings.warn(
+            f"matrix_format='sparse' at tol={cfg.tol:g} on a "
+            "reduced-precision-MXU backend: block-ELL products carry "
+            "~1e-5 relative error and have no exact-fp32 twin, so "
+            f"termination is sound only for tol >= {_SPARSE_SOUND_TOL:g}"
+            " on this path. Use dtype=None (escalates through iterative "
+            "refinement), matrix_format='dense'/'band' (exact-fp32 "
+            "kernels), or treat the result as ~1e-4-certified.",
+            stacklevel=2,
+        )
 
     if mesh is None:
         _f64_guard(
@@ -797,6 +877,11 @@ def solve(
     # first running a full chunk.
     budget_spent = time.perf_counter() - start + time_used >= cfg.time_limit
     fuse_first = mesh is None and not will_resume and not budget_spent
+    # NaN = "use the ||c||/||q|| rule" (see eta_omega_of); a float pins
+    # the initial primal weight (refinement's near-zero-RHS corrections).
+    om0j = jnp.asarray(
+        np.nan if omega0 is None else float(omega0), dtype
+    )
     if x0 is not None or y0 is not None:
         x0j = jnp.asarray(
             x0 if x0 is not None else np.zeros(op.shape[1]), dtype
@@ -819,23 +904,25 @@ def solve(
             # is no residency to protect, so the fused single program
             # below is better (one compile, one dispatch).
             if x0 is None and y0 is None:
-                pb, st = _prepare(op, c, q, l, u, mask_j, key, cfg)
+                pb, st = _prepare(op, c, q, l, u, mask_j, key, om0j, cfg)
             else:
                 pb, st = _prepare_warm(
-                    op, c, q, l, u, mask_j, key, x0j, y0j, cfg
+                    op, c, q, l, u, mask_j, key, x0j, y0j, om0j, cfg
                 )
             st = run_chunk(st, pb, budget0, cfg, aligned=True)
         elif x0 is None and y0 is None:
-            pb, st = _prepare_run(op, c, q, l, u, mask_j, key, budget0, cfg)
+            pb, st = _prepare_run(op, c, q, l, u, mask_j, key, budget0,
+                                  om0j, cfg)
         else:
             pb, st = _prepare_warm_run(
-                op, c, q, l, u, mask_j, key, x0j, y0j, budget0, cfg
+                op, c, q, l, u, mask_j, key, x0j, y0j, budget0, om0j, cfg
             )
         pending.append(st)
     elif x0 is None and y0 is None:
-        pb, st = _prepare(op, c, q, l, u, mask_j, key, cfg)
+        pb, st = _prepare(op, c, q, l, u, mask_j, key, om0j, cfg)
     else:
-        pb, st = _prepare_warm(op, c, q, l, u, mask_j, key, x0j, y0j, cfg)
+        pb, st = _prepare_warm(op, c, q, l, u, mask_j, key, x0j, y0j, om0j,
+                               cfg)
 
     resumed = False
     if will_resume:
