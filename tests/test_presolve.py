@@ -710,3 +710,64 @@ def test_same_column_singleton_batch_duals_exact(backend, name, c, K, q,
         y = postsolve_dual(np.zeros(0), x, r.data)
     assert float(p.c @ x) == pytest.approx(o.fun, abs=1e-9)
     assert dual_violation(p, x, y) == pytest.approx(0.0, abs=1e-12)
+
+
+@pytest.mark.parametrize("backend", ["python", "cpp"])
+def test_dual_bound_strengthening(backend):
+    """PaPILO DualInfer analog: propagated dual bounds fix a column the
+    one-sign DualFix pass cannot (round-3 verdict item 7).
+
+    Column A (singleton, u = +inf) bounds its row's dual: lambda_A =
+    c_A - y0 >= 0 forces y0 <= c_A = 1.  Column B shares the row with a
+    POSITIVE coefficient and c_B = 2 > c_A, so lambda_B = 2 - y0 >= 1 > 0
+    for every feasible dual -> x_B pinched to its lower bound.  DualFix
+    alone cannot touch B (positive inequality entry with positive cost).
+    """
+    from tpdlp.problem import LPProblem
+
+    # row0 (ineq): x_A + x_B + x_C >= 1 ; row1 (ineq): x_C >= -5
+    K = sp.csr_matrix(np.array([
+        [1.0, 1.0, 1.0],
+        [0.0, 0.0, 1.0],
+    ]))
+    p = LPProblem(
+        c=np.array([1.0, 2.0, 0.5]),
+        K=K,
+        q=np.array([1.0, -5.0]),
+        m_ineq=2,
+        l=np.array([0.0, 0.0, -4.0]),
+        u=np.array([np.inf, 5.0, 4.0]),
+    )
+    o = solve_oracle(p)
+    assert o.status == 0
+    r = presolve(p, backend=backend)
+    # x_B fixed at its lower bound by dual inference.
+    assert 1 in r.data.fixed_idx
+    bpos = list(r.data.fixed_idx).index(1)
+    assert r.data.fixed_val[bpos] == pytest.approx(0.0)
+    # Objective preserved through the round trip.
+    if r.problem.n:
+        o2 = solve_oracle(r.problem)
+        assert o2.status == 0
+        x_full = postsolve(o2.x, r.data)
+    else:
+        x_full = postsolve(np.zeros(0), r.data)
+    assert float(p.c @ x_full) + 0.0 == pytest.approx(o.fun, abs=1e-7)
+
+
+def test_dual_infer_lockstep_mixed_bounds():
+    """Both engines agree (reduced shapes, fixes, postsolve) on
+    mixed-bound instances where the dual-inference pass has content."""
+    from tpdlp.io.generator import generate_feasible_lp
+
+    for seed in range(8):
+        p = generate_feasible_lp(n=30, m_ineq=18, m_eq=6, seed=seed,
+                                 bounds="mixed")
+        rp = presolve(p, backend="python")
+        rc = presolve(p, backend="cpp")
+        assert rp.status == rc.status
+        assert rp.problem.m == rc.problem.m
+        assert rp.problem.n == rc.problem.n
+        np.testing.assert_array_equal(rp.data.fixed_idx, rc.data.fixed_idx)
+        np.testing.assert_allclose(rp.data.fixed_val, rc.data.fixed_val,
+                                   rtol=1e-12, atol=1e-12)

@@ -91,7 +91,7 @@ def _oracle_objective(problem, time_limit=900.0):
 
 def run(instance="mittelmann-s", tol=1e-8, seed=0, matrix_format="dense",
         warm=True, verbose=False, max_kkt=100_000, escalation_tol=None,
-        chunk_kkt_max=None):
+        chunk_kkt_max=None, abs_gap=False):
     problems = {
         p.name: p
         for p in build_suite(("small", "medium", "large", "xl"))
@@ -104,7 +104,8 @@ def run(instance="mittelmann-s", tol=1e-8, seed=0, matrix_format="dense",
         extra["chunk_kkt_max"] = chunk_kkt_max
     cfg = SolverConfig(tol=tol, scaling="ruiz", adaptive=True,
                        primal_weight_update=True, verbose=verbose,
-                       max_kkt=max_kkt, **extra)
+                       max_kkt=max_kkt, abs_gap_termination=abs_gap,
+                       **extra)
     if warm:
         # Warm the compiled programs with a DIFFERENT seed (same protocol
         # as bench.py): this backend AOT-compiles each program family on
@@ -134,10 +135,12 @@ def run(instance="mittelmann-s", tol=1e-8, seed=0, matrix_format="dense",
         row["oracle_obj"] = oracle_obj
         row["rel_err"] = abs(r.objective - oracle_obj) / max(1.0,
                                                              abs(oracle_obj))
+    row["gap_criterion"] = "abs" if abs_gap else "signed (reference)"
     row["protocol"] = (
         f"python -m tpdlp.bench.refine_1e8 --instance {instance} "
         f"--tol {tol:g} --seed {seed} --matrix_format {matrix_format} "
         f"--max_kkt {max_kkt} "
+        + ("--abs_gap " if abs_gap else "")
         + (f"--escalation_tol {escalation_tol:g} "
            if escalation_tol is not None else "")
         + (f"--chunk_kkt_max {chunk_kkt_max} "
@@ -171,12 +174,16 @@ def main(argv=None):
                     help="cap KKT passes per device dispatch (large "
                          "instances: keep dispatches ~10 s so the remote "
                          "tunnel never wedges on a minute-long dispatch)")
+    ap.add_argument("--abs_gap", action="store_true",
+                    help="certify |gap| <= tol(1+|p|+|d|) (the standard "
+                         "PDLP criterion) instead of the reference's "
+                         "signed gap, which any negative gap satisfies")
     args = ap.parse_args(argv)
 
     row = run(args.instance, args.tol, args.seed, args.matrix_format,
               warm=not args.no_warm, verbose=args.verbose,
               max_kkt=args.max_kkt, escalation_tol=args.escalation_tol,
-              chunk_kkt_max=args.chunk_kkt_max)
+              chunk_kkt_max=args.chunk_kkt_max, abs_gap=args.abs_gap)
     print(json.dumps(row, indent=1))
     if args.out:
         with open(args.out, "w") as f:

@@ -595,6 +595,137 @@ bool pass_dominated_cols(Problem& p, Result& r) {
   return any;
 }
 
+// Dual-bound strengthening (PaPILO DualInfer); mirrors
+// reductions.py's tail pass exactly.  Each column's bound pattern
+// constrains its dual activity s_j = sum_i a_ij y_i (lambda_j =
+// c_j - s_j must live in the bound cone): u_j = +inf (or implied)
+// -> s_j <= c_j; l_j = -inf (or implied) -> s_j >= c_j; free -> both.
+// Activity propagation over y (ineq rows y >= 0, eq rows free) tightens
+// [ylo, yhi]; any column whose lambda range ends strictly one-signed
+// for EVERY feasible dual is pinched to the bound complementarity
+// dictates.  Runs LAST in the driver so the structural families keep
+// first claim on the columns it would otherwise fix.
+bool pass_dual_infer(Problem& p, Result& r) {
+  const size_t m = p.rows.size(), n = p.c.size();
+  if (!m || !n) return false;
+  const double kInf = std::numeric_limits<double>::infinity();
+  std::vector<uint8_t> ge_j(n, 0), le_j(n, 0);
+  for (size_t j = 0; j < n; ++j) {
+    ge_j[j] = (std::isinf(p.l[j]) && p.l[j] < 0) || p.l_imp[j];
+    le_j[j] = (std::isinf(p.u[j]) && p.u[j] > 0) || p.u_imp[j];
+  }
+  std::vector<double> ylo(m), yhi(m, kInf);
+  for (size_t i = 0; i < m; ++i) ylo[i] = p.is_ineq[i] ? 0.0 : -kInf;
+  std::vector<std::vector<int64_t>> col_rows;
+  std::vector<std::vector<double>> col_vals;
+  build_cols(p, col_rows, col_vals);
+
+  std::vector<double> smin_f(n), smax_f(n);
+  std::vector<int32_t> nlo_inf(n), nhi_inf(n);
+  std::vector<double> s_min(n), s_max(n);
+  for (int round = 0; round < 4; ++round) {
+    for (size_t j = 0; j < n; ++j) {
+      double lo_sum = 0.0, hi_sum = 0.0;
+      int32_t nlo = 0, nhi = 0;
+      for (size_t k = 0; k < col_rows[j].size(); ++k) {
+        const int64_t i = col_rows[j][k];
+        const double v = col_vals[j][k];
+        const double lo_e = v > 0 ? v * ylo[i] : v * yhi[i];
+        const double hi_e = v > 0 ? v * yhi[i] : v * ylo[i];
+        if (std::isinf(lo_e)) ++nlo; else lo_sum += lo_e;
+        if (std::isinf(hi_e)) ++nhi; else hi_sum += hi_e;
+      }
+      smin_f[j] = lo_sum; smax_f[j] = hi_sum;
+      nlo_inf[j] = nlo; nhi_inf[j] = nhi;
+      s_min[j] = nlo ? -kInf : lo_sum;
+      s_max[j] = nhi ? kInf : hi_sum;
+    }
+    std::vector<double> new_lo(ylo), new_hi(yhi);
+    for (size_t j = 0; j < n; ++j) {
+      if (!le_j[j] && !ge_j[j]) continue;
+      for (size_t k = 0; k < col_rows[j].size(); ++k) {
+        const int64_t i = col_rows[j][k];
+        const double v = col_vals[j][k];
+        const double lo_e = v > 0 ? v * ylo[i] : v * yhi[i];
+        const double hi_e = v > 0 ? v * yhi[i] : v * ylo[i];
+        const bool lo_wo_ok =
+            nlo_inf[j] == 0 || (nlo_inf[j] == 1 && std::isinf(lo_e)
+                                && lo_e < 0);
+        const bool hi_wo_ok =
+            nhi_inf[j] == 0 || (nhi_inf[j] == 1 && std::isinf(hi_e)
+                                && hi_e > 0);
+        const double lo_wo =
+            smin_f[j] - (std::isinf(lo_e) ? 0.0 : lo_e);
+        const double hi_wo =
+            smax_f[j] - (std::isinf(hi_e) ? 0.0 : hi_e);
+        if (le_j[j] && lo_wo_ok) {
+          const double r_le = (p.c[j] - lo_wo) / v;
+          if (v > 0) {
+            new_hi[i] = std::min(new_hi[i], r_le);
+          } else {
+            new_lo[i] = std::max(new_lo[i], r_le);
+          }
+        }
+        if (ge_j[j] && hi_wo_ok) {
+          const double r_ge = (p.c[j] - hi_wo) / v;
+          if (v > 0) {
+            new_lo[i] = std::max(new_lo[i], r_ge);
+          } else {
+            new_hi[i] = std::min(new_hi[i], r_ge);
+          }
+        }
+      }
+    }
+    bool moved = false;
+    for (size_t i = 0; i < m; ++i) {
+      // Never cross the previous range (roundoff soundness), mirroring
+      // reductions.py's clamp.
+      new_lo[i] = std::min(new_lo[i], yhi[i]);
+      new_hi[i] = std::max(new_hi[i], ylo[i]);
+      if (std::isfinite(new_lo[i])
+          && new_lo[i] > ylo[i] + 1e-9 * (1 + std::fabs(new_lo[i]))) {
+        moved = true;
+      }
+      if (std::isfinite(new_hi[i])
+          && new_hi[i] < yhi[i] - 1e-9 * (1 + std::fabs(new_hi[i]))) {
+        moved = true;
+      }
+    }
+    ylo.swap(new_lo);
+    yhi.swap(new_hi);
+    if (!moved) break;
+  }
+  bool any = false;
+  for (size_t j = 0; j < n; ++j) {
+    if (!(p.l[j] < p.u[j])) continue;
+    const double strict = 1e-7 * (1.0 + std::fabs(p.c[j]));
+    const double lam_min = p.c[j] - s_max[j];
+    if (lam_min > strict) {
+      if (std::isfinite(p.l[j])) {
+        p.u[j] = p.l[j];
+        p.l_imp[j] = p.u_imp[j] = 0;
+        any = true;
+      } else {
+        r.status = kDualInfeasible;
+        return false;
+      }
+      continue;
+    }
+    const double lam_max = p.c[j] - s_min[j];
+    if (lam_max < -strict) {
+      if (std::isfinite(p.u[j])) {
+        p.l[j] = p.u[j];
+        p.l_imp[j] = p.u_imp[j] = 0;
+        any = true;
+      } else {
+        r.status = kDualInfeasible;
+        return false;
+      }
+    }
+  }
+  return any;
+}
+
 // Free column singletons in equality rows: a free variable (l = -inf,
 // u = +inf) with a single nonzero a_ij in an equality row is determined by
 // that row: x_j = (b_i - sum_k a_ik x_k)/a_ij.  Remove row i and column j,
@@ -1165,6 +1296,8 @@ void* tpdlp_presolve_run(
     if (pass_duplicate_rows(p, *res)) changed = true;
     if (res->status != kRunning) break;
     if (pass_sparsify(p, *res)) changed = true;
+    if (pass_dual_infer(p, *res)) changed = true;
+    if (res->status != kRunning) break;
   }
 
   if (res->status == kRunning && p.c.empty() && p.rows.empty()) {

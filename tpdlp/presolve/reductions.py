@@ -1283,6 +1283,124 @@ def presolve(
                 K.eliminate_zeros()
                 changed = True
 
+        # ---- dual-bound strengthening (PaPILO DualInfer); runs LAST
+        # so the structural families above (substitution,
+        # aggregation, parallel columns) keep first claim on the
+        # columns it would otherwise fix ----
+        # The dominated-columns pass above needs a whole column's
+        # inequality entries to share one sign; this pass generalizes it
+        # by PROPAGATING bounds through the dual system.  Each column's
+        # bound pattern constrains its dual activity s_j = sum_i a_ij y_i
+        # (lambda_j = c_j - s_j must live in the bound cone):
+        #   u_j = +inf            -> lambda_j >= 0 -> s_j <= c_j
+        #   l_j = -inf            -> lambda_j <= 0 -> s_j >= c_j
+        #   free                  -> s_j  = c_j
+        #   finite box            -> no constraint.
+        # Implied-finite bounds (l_imp/u_imp) count as infinite: SOME
+        # optimal dual has lambda_j = 0 on a row-redundant bound, and the
+        # inference only needs one optimal dual to satisfy the system.
+        # Row duals start at y_i in [0, inf) (inequalities) / free
+        # (equalities); activity propagation tightens them, and any
+        # column whose lambda range ends strictly one-signed for EVERY
+        # feasible dual is fixed to the bound complementarity dictates —
+        # by strong duality that bound holds at every primal optimum.
+        m, n = K.shape
+        ge_j = np.isneginf(l) | l_imp   # s_j >= c_j
+        le_j = np.isposinf(u) | u_imp   # s_j <= c_j
+        ylo = np.where(is_ineq, 0.0, -np.inf)
+        yhi = np.full(m, np.inf)
+        Kcsc = K.tocsc()
+        e_col = np.repeat(np.arange(n), np.diff(Kcsc.indptr))
+        e_row = Kcsc.indices
+        e_val = Kcsc.data
+        s_min = s_max = None
+        for _ in range(4):
+            with np.errstate(invalid="ignore"):
+                lo_e = np.where(e_val > 0, e_val * ylo[e_row],
+                                e_val * yhi[e_row])
+                hi_e = np.where(e_val > 0, e_val * yhi[e_row],
+                                e_val * ylo[e_row])
+            lo_f = np.where(np.isfinite(lo_e), lo_e, 0.0)
+            hi_f = np.where(np.isfinite(hi_e), hi_e, 0.0)
+            smin_f = np.bincount(e_col, lo_f, minlength=n)
+            smax_f = np.bincount(e_col, hi_f, minlength=n)
+            nlo_inf = np.bincount(e_col, np.isneginf(lo_e), minlength=n)
+            nhi_inf = np.bincount(e_col, np.isposinf(hi_e), minlength=n)
+            s_min = np.where(nlo_inf > 0, -np.inf, smin_f)
+            s_max = np.where(nhi_inf > 0, np.inf, smax_f)
+            # Implied y bounds from "s_j <= c_j" columns via min-activity-
+            # without-entry (and from ">= c_j" via max-activity-without),
+            # mirroring the primal tightening above.
+            lo_wo_ok = (nlo_inf[e_col] == 0) | (
+                (nlo_inf[e_col] == 1) & np.isneginf(lo_e)
+            )
+            hi_wo_ok = (nhi_inf[e_col] == 0) | (
+                (nhi_inf[e_col] == 1) & np.isposinf(hi_e)
+            )
+            lo_wo = smin_f[e_col] - np.where(np.isfinite(lo_e), lo_e, 0.0)
+            hi_wo = smax_f[e_col] - np.where(np.isfinite(hi_e), hi_e, 0.0)
+            r_le = (c[e_col] - lo_wo) / e_val  # from s_j <= c_j
+            r_ge = (c[e_col] - hi_wo) / e_val  # from s_j >= c_j
+            ele = le_j[e_col] & lo_wo_ok
+            ege = ge_j[e_col] & hi_wo_ok
+            pos_e = e_val > 0
+            cu = np.full(e_val.size, np.inf)
+            cl = np.full(e_val.size, -np.inf)
+            mask = ele & pos_e
+            cu[mask] = r_le[mask]
+            mask = ele & ~pos_e
+            cl[mask] = r_le[mask]
+            mask = ege & pos_e
+            cl[mask] = np.maximum(cl[mask], r_ge[mask])
+            mask = ege & ~pos_e
+            cu[mask] = np.minimum(cu[mask], r_ge[mask])
+            new_lo = ylo.copy()
+            new_hi = yhi.copy()
+            np.maximum.at(new_lo, e_row, cl)
+            np.minimum.at(new_hi, e_row, cu)
+            # Keep the propagation sound under roundoff: never CROSS the
+            # previous range, and stop when nothing moved meaningfully.
+            new_lo = np.minimum(new_lo, yhi)
+            new_hi = np.maximum(new_hi, ylo)
+            with np.errstate(invalid="ignore"):
+                moved = bool(
+                    np.any(new_lo > ylo + 1e-9 * (1 + np.abs(new_lo)))
+                    or np.any(new_hi < yhi - 1e-9 * (1 + np.abs(new_hi)))
+                )
+            ylo, yhi = new_lo, new_hi
+            if not moved:
+                break
+        lam_min = c - s_max
+        lam_max = c - s_min
+        strict = 1e-7 * (1.0 + np.abs(c))
+        unfixed2 = l < u
+        fix_lo2 = (lam_min > strict) & unfixed2
+        fix_hi2 = (lam_max < -strict) & unfixed2 & ~fix_lo2
+        dual_fixed = False
+        for j in np.flatnonzero(fix_lo2):
+            if np.isfinite(l[j]):
+                u[j] = l[j]
+                l_imp[j] = u_imp[j] = False
+                dual_fixed = True
+            else:
+                fail(Status.DUAL_INFEASIBLE)
+                break
+        if status == Status.RUNNING:
+            for j in np.flatnonzero(fix_hi2):
+                if np.isfinite(u[j]):
+                    l[j] = u[j]
+                    l_imp[j] = u_imp[j] = False
+                    dual_fixed = True
+                else:
+                    fail(Status.DUAL_INFEASIBLE)
+                    break
+        if status != Status.RUNNING:
+            break
+        if dual_fixed:
+            changed = True
+            continue  # the fixed-variable pass performs the substitution
+
+
     indptr = np.zeros(len(subst_idx) + 1, np.int64)
     if subst_idx:
         indptr[1:] = np.cumsum([len(a) for a in subst_cols])

@@ -562,6 +562,17 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
     # 120k -> 6.4e-5 = certified), so a stalled dual needs a BIGGER
     # round, not more small ones (small re-zoomed rounds do not compound
     # — measured: two 20k rounds end where one started).
+    om_scale = 1.0  # primal-weight ladder for the correction solves.
+    # The solver's omega = ||c||/||q|| rule is catastrophically wrong on
+    # corrections BY CONSTRUCTION (c~ is cap-scaled, q~ is
+    # residual-scaled: measured ratio 3.5e4 on a mittelmann-s round-1
+    # correction, whose 50k-pass fold lands at gap -1.4e-2, vs -6.3e-4
+    # at omega=0.03).  Corrections instead start at
+    # (alpha_d/alpha_p) * (1+||y||)/(1+||x||) — the zoomed image of the
+    # incumbent's own dual/primal scale — and the ladder divides by 10
+    # whenever a fold fails to halve the gap (measured certifying zone
+    # on the same correction: omega in [0.01, 0.03] at 100k passes,
+    # rule value 0.12).
     best = None  # (score, xh, yh, res)
     stall = 0
     res = None
@@ -834,19 +845,26 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
             """One correction solve + guarded fold.  Returns
             (accepted_primal, accepted_dual, inner_status)."""
             nonlocal xh, yh, k_total, n_total, j_total, ap_limit, \
-                ad_limit, zc_factor, round_boost, history
+                ad_limit, zc_factor, round_boost, om_scale, history
             corr = LPProblem(
                 c=c2, K=K_mat, q=q_t, m_ineq=0, l=l2, u=u2,
                 name=f"{problem.name}+refine{rnd}",
             )
-            _dbg(f"inner solve: shape={K_mat.shape} tol={inner_cfg.tol:.1e} budget={inner_cfg.max_kkt}")
+            om0 = (
+                (alpha_d / alpha_p)
+                * (1.0 + float(np.linalg.norm(yh)))
+                / (1.0 + float(np.linalg.norm(xh)))
+                * om_scale
+            )
+            _dbg(f"inner solve: shape={K_mat.shape} tol={inner_cfg.tol:.1e} "
+                 f"budget={inner_cfg.max_kkt} omega0={om0:.3e}")
             dump = os.environ.get("TPDLP_REFINE_DUMP")
             if dump:
                 np.savez(f"{dump}_r{rnd}.npz", c2=c2, q_t=q_t, l2=l2,
                          u2=u2, xh=xh, yh=yh, alpha_p=alpha_p,
                          alpha_d=alpha_d, zc=zc)
             r = solve_fn(corr, inner_cfg, dtype=jnp.float32,
-                         matrix_format=corr_format, **kw)
+                         matrix_format=corr_format, omega0=om0, **kw)
             _dbg(f"inner done: {r.status_string} j={r.kkt_passes} t={r.solve_time:.1f}s")
             k_total += r.iterations
             n_total += r.restarts
@@ -905,22 +923,35 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
                 yh = y_cand
             if ok_d and gap_new <= 0.5 * gap_old:
                 ad_limit = min(ad_limit * 8.0, 1e28)
+            elif ok_d:
+                # Accepted but didn't halve: the window is demonstrably
+                # adequate (it admitted an improving dual) — the inner
+                # solve was just too short.  Fold quality is a steep
+                # function of inner passes (measured: 20k -> gap 2.6e-3,
+                # 30k -> 7.8e-4, 120k -> certified), so double the next
+                # round's budget and leave the window alone (widening on
+                # slow-but-real progress is how zc overshot to 1e4,
+                # where the huge box measurably poisons the inner solve:
+                # a 94k-pass zc=1e4 correction folds to a REJECTED dual
+                # while zc=1e3 certifies).
+                round_boost = min(round_boost * 2, 8)
+                om_scale = max(om_scale / 10.0, 1e-3)
             else:
-                # The dual made no real progress: two measured causes,
-                # both countered.  (1) The clip window cutting off far
-                # degenerate coordinates makes artificial window bounds
-                # active and poisons the correction's DUAL (the exact
-                # HiGHS dual of a zc=100 correction folds to zero gap
-                # improvement; zc=1000 folds to gap -3.6e-12 on the same
-                # incumbent) — widen the window.  (2) The inner solve
-                # was too short: fold quality is a steep function of
-                # inner passes (20k -> 2.6e-3, 120k -> certified) —
+                # Rejected outright: two measured causes, both countered.
+                # (1) The clip window cutting off far degenerate
+                # coordinates makes artificial window bounds active and
+                # poisons the correction's DUAL (the exact HiGHS dual of
+                # a zc=100 correction folds to zero gap improvement;
+                # zc=1000 folds to gap -3.6e-12 on the same incumbent) —
+                # widen, capped at 100x (1000x measurably overshoots,
+                # see above).  (2) The inner solve was too short —
                 # double the next round's budget.  Keep the dual zoom:
                 # round 3's alpha_d/64 backoff here nuked the zoom
                 # precisely when the dual needed it (alpha_d fell
                 # 7.8e4 -> 18 across rounds while the gap froze).
-                zc_factor = min(zc_factor * 10.0, 1e4)
+                zc_factor = min(zc_factor * 10.0, 100.0)
                 round_boost = min(round_boost * 2, 8)
+                om_scale = max(om_scale / 10.0, 1e-3)
             return ok_p, ok_d, r.status
 
         ok_p, ok_d, st = _attempt(K_aug, c_t, l_t, u_t)
