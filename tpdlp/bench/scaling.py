@@ -102,18 +102,45 @@ def run_scaling(m, n, iters, mesh_sizes=(1, 2, 4, 8), dtype_name="float32"):
         # followed by "(" ("... = <type> all-reduce(...)"); operand
         # references ("%all-reduce.5") never are.
         n_allreduce = len(re.findall(r"\ball-reduce(?:-start)?\(", hlo))
+        # Per-iteration collective volume under the ("row","col") layout:
+        # K x psums an (m/R)-slice over the col axis, K'y an (n/C)-slice
+        # over the row axis — O(m/R + n/C) elements regardless of
+        # nnz(K), fp32.  This is the number the day real multi-chip
+        # hardware appears: volume / ICI bandwidth bounds the comm time
+        # per iteration.
+        shape = dict(mesh.shape) if mesh else {"row": 1, "col": 1}
+        m_pad, n_pad = pb.op.shape
+        comm_elems = (
+            (m_pad // shape["row"]) * (0 if shape["col"] == 1 else 1)
+            + (n_pad // shape["col"]) * (0 if shape["row"] == 1 else 1)
+        )
+        # Trajectory match vs the single-device run: identical seed and
+        # chunk schedule, so iterates must agree to fp32 roundoff
+        # (padding is exactness-preserving).
+        obj = float(jnp.dot(pb.c, st2.x))
         rows.append({
             "devices": nd,
-            "mesh": dict(mesh.shape) if mesh else {"row": 1, "col": 1},
+            "mesh": shape,
             "iters_per_sec": k / dt,
             "all_reduces_in_program": n_allreduce,
+            "comm_elems_per_iteration": int(comm_elems),
+            "comm_bytes_per_iteration": int(comm_elems) * 4,
+            "scaled_objective_after_chunks": obj,
         })
         print(
             f"[scaling] {nd} devices {rows[-1]['mesh']}: "
             f"{rows[-1]['iters_per_sec']:.0f} it/s, "
-            f"{n_allreduce} all-reduce ops in the compiled loop",
+            f"{n_allreduce} all-reduce ops, "
+            f"{comm_elems * 4} comm B/iter, obj {obj:.8f}",
             file=sys.stderr,
         )
+    if len(rows) > 1:
+        base_obj = rows[0]["scaled_objective_after_chunks"]
+        for row in rows[1:]:
+            rel = abs(row["scaled_objective_after_chunks"] - base_obj) / (
+                1.0 + abs(base_obj)
+            )
+            row["trajectory_rel_err_vs_single"] = rel
     return rows
 
 

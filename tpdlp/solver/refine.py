@@ -461,20 +461,63 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
     auto = cfg.escalation_scheme == "auto" and cfg.step_scheme == "vanilla"
     base = cfg.replace(adaptive=True) if (auto and not cfg.adaptive) else cfg
 
-    # ---- stage 1: plain fp32 solve of the original problem ----
+    # ---- stage 1: plain fp32 coarse solve, by TOLERANCE DECADES under a
+    # budget gate.  Refinement re-centers from ANY incumbent, so the
+    # coarse stage exists only to hand it a cheap one — but the cost of
+    # one more decade is wildly instance-dependent (mittelmann-l reaches
+    # 1e-4 in ~1.3k passes while its 1e-6 decade alone burns >100k;
+    # round 3 required a hand --escalation_tol 1e-4 for exactly this).
+    # Descending one decade at a time, warm-started, and stopping the
+    # descent when the stage has spent 40% of the global budget (or a
+    # decade exhausts its slice) automates that choice: easy instances
+    # still reach cfg.escalation_tol exactly as before, hard ones stop
+    # at whatever decade their conditioning affords and let the
+    # corrections (each a fresh O(1)-conditioned LP) do the rest. ----
     coarse_tol = max(cfg.escalation_tol, cfg.tol)
-    s1 = solve_fn(
-        problem, base.replace(tol=coarse_tol), dtype=jnp.float32,
-        time_used=time_used, log_history=log_history,
-        checkpoint_path=checkpoint_path, resume=resume, x0=x0, y0=y0, **kw,
-    )
-    if s1.status != Status.SOLVED:
-        # Certificates / budget exhaustion are terminal as-is.
-        return s1
+    stage_cap = max(int(0.4 * cfg.max_kkt), 1)
+    decades = [max(coarse_tol, 1e-4)]
+    while decades[-1] > coarse_tol * 1.0000001:
+        decades.append(max(decades[-1] * 0.1, coarse_tol))
+    s1 = None
+    k_total = n_total = j_total = 0
+    history = [] if log_history else None
+    for d_i, d_tol in enumerate(decades):
+        left = stage_cap - j_total
+        if left <= 0:
+            break
+        r = solve_fn(
+            problem, base.replace(tol=d_tol, max_kkt=left),
+            dtype=jnp.float32,
+            time_used=time_used + (time.perf_counter() - start),
+            log_history=log_history,
+            checkpoint_path=checkpoint_path if d_i == 0 else None,
+            resume=resume if d_i == 0 else False,
+            x0=x0 if s1 is None else s1.x,
+            y0=y0 if s1 is None else s1.y,
+            **kw,
+        )
+        k_total += r.iterations
+        n_total += r.restarts
+        j_total += r.kkt_passes
+        if r.history is not None and history is not None:
+            history.extend(r.history)
+        if r.status == Status.SOLVED:
+            s1 = r
+            continue
+        if r.status == Status.KKT_LIMIT and s1 is not None:
+            # This decade's cost exploded; keep the previous decade's
+            # certified incumbent and move on to the corrections.
+            _dbg(f"stage1: decade {d_tol:g} hit its budget slice; "
+                 f"refining from the {decades[d_i - 1]:g} incumbent")
+            break
+        # First decade failed, or a terminal status (certificates,
+        # time limit): nothing useful to refine from.
+        return dataclasses.replace(
+            r, iterations=k_total, restarts=n_total, kkt_passes=j_total,
+        )
     xh = np.asarray(s1.x, dtype=np.float64)
     yh = np.asarray(s1.y, dtype=np.float64)
-    k_total, n_total, j_total = s1.iterations, s1.restarts, s1.kkt_passes
-    history = list(s1.history) if s1.history is not None else None
+    stage1_kkt = j_total
 
     # Corrections run in the all-equality slack form (module docstring).
     K_aug = _slack_form(K64, m_ineq)
@@ -803,7 +846,7 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
         round_kkt = min(
             kkt_left,
             (cfg.refine_round_kkt
-             or max(4000, 3 * s1.kkt_passes, cfg.max_kkt // 12))
+             or max(4000, 3 * stage1_kkt, cfg.max_kkt // 12))
             * round_boost,
         )
         inner_cfg = base.replace(
