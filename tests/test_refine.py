@@ -155,3 +155,47 @@ def test_refine_matches_fp64_tail_objective(monkeypatch):
     r_f64 = solve(p, base.replace(escalation_mode="fp64_tail"))
     assert r_ref.status == r_f64.status == Status.SOLVED
     assert r_ref.objective == pytest.approx(r_f64.objective, rel=1e-7)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_refine_mixed_bounds_dual_residual_content(seed):
+    """Round-3 verdict item 4: on instances with infinite/one-sided
+    bounds the dual residual is NOT identically zero (lambda is a strict
+    cone projection), so termination condition 2 has actual content —
+    the refinement must drive a genuinely nonzero dual_res below
+    tol*(1+||c||) rather than inherit a vacuous 0."""
+    p = generate_feasible_lp(n=50, m_ineq=30, m_eq=10, seed=seed,
+                             bounds="mixed")
+    tol = 1e-9
+    cfg = SolverConfig(tol=tol, max_kkt=400_000, scaling="ruiz",
+                       adaptive=True, abs_gap_termination=True)
+    r = solve_refined(p, cfg, solve_fn=solve, seed=0)
+    assert r.status == Status.SOLVED, r.status_string
+    _assert_certified(p, r, tol)
+    # The instance genuinely exercises condition 2: a PERTURBED dual has
+    # nonzero stationarity residual (i.e. the zero in r.dual_res is
+    # earned, not structural).
+    y_pert = np.asarray(r.y, float) + 1e-3
+    res = host_residuals(
+        _K64(p), np.asarray(p.c, float), np.asarray(p.q, float),
+        np.asarray(p.l, float), np.asarray(p.u, float), p.m_ineq,
+        np.asarray(r.x, float), y_pert,
+    )
+    assert res.dual_res > 0.0
+
+
+def test_refine_escapes_feasible_suboptimal_freeze():
+    """A feasibility-monotone primal fold guard freezes the incumbent at
+    the first machine-feasible point even when its OBJECTIVE is far from
+    optimal (measured on mittelmann-m: pres 1.8e-13, objective 2.7e-3
+    high, dual already optimal).  Value-improving folds that stay inside
+    the feasibility criterion must be accepted, so tight-tolerance
+    refinement converges in OBJECTIVE too."""
+    p = generate_feasible_lp(n=60, m_ineq=35, m_eq=12, seed=11)
+    tol = 1e-10
+    cfg = SolverConfig(tol=tol, max_kkt=400_000, scaling="ruiz",
+                       adaptive=True, abs_gap_termination=True)
+    r = solve_refined(p, cfg, solve_fn=solve, seed=0)
+    assert r.status == Status.SOLVED, r.status_string
+    o = solve_oracle(p)
+    assert abs(r.objective - o.fun) / (1 + abs(o.fun)) < 1e-8

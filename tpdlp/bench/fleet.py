@@ -102,6 +102,9 @@ def main(argv=None):
                          "seed, stacked band-slab layout) instead of the "
                          "cost-perturbed shared-K fleet; --instance is "
                          "then n,m_ineq,m_eq,bandwidth")
+    ap.add_argument("--out", default=None,
+                    help="write the full result row (with protocol and "
+                         "backend) to this JSON artifact path")
     args = ap.parse_args(argv)
 
     if args.banded:
@@ -159,14 +162,35 @@ def main(argv=None):
                 file=sys.stderr,
             )
 
-    print(json.dumps({
+    row = {
         "metric": f"fleet_{args.instance}_instances_per_sec",
         "value": round(ours["instances_per_sec"], 2),
         "unit": "instances/s",
         "vs_baseline": (
             round(ours["instances_per_sec"] / ref_rate, 2) if ref_rate else None
         ),
-    }))
+    }
+    print(json.dumps(row))
+    if args.out:
+        import jax
+
+        row.update({
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "batch": ours["batch"],
+            "solved": ours["solved"],
+            "wall": round(ours["time"], 2),
+            "tol": args.tol,
+            "reference_inst_per_sec": (
+                round(ref_rate, 3) if ref_rate else None
+            ),
+            "protocol": "python -m tpdlp.bench.fleet " + " ".join(
+                argv if argv is not None else __import__("sys").argv[1:]
+            ),
+        })
+        with open(args.out, "w") as f:
+            json.dump(row, f, indent=1)
+        print(f"[fleet] artifact written: {args.out}", file=sys.stderr)
     return ours
 
 

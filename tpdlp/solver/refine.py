@@ -642,7 +642,12 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
         # thresholds) is accepted only if the honest combined score
         # improves, so a misidentified active set costs one rejected
         # attempt and nothing else. ----
-        if cfg.refine_polish and res.primal_res <= 1e-3 * (1.0 + q_norm):
+        # Gate: classification needs a near-face incumbent.  From a
+        # ~1e-3-feasible point the classified sets are garbage (measured
+        # on mittelmann-m: 2500-column "interior", stationarity residual
+        # 8.1 — every LSMR pass wasted); 1e-5 admits every incumbent that
+        # has ever produced a useful polish and skips the noise.
+        if cfg.refine_polish and res.primal_res <= 1e-5 * (1.0 + q_norm):
             _dbg("polish: start")
             gap_target = 0.05 * cfg.tol * (
                 1.0 + abs(res.prim_obj) + abs(res.adjusted_dual)
@@ -843,8 +848,19 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
         # (observed on mittelmann-l: 4k-pass rounds left the gap frozen
         # at -0.45 across every round; 30k-pass rounds close it and land
         # the objective 3e-9 from the HiGHS optimum).
+        # Early rounds are capped at 45% of the remaining budget so the
+        # omega/window ladders always get a second, adapted attempt —
+        # an uncapped first round eats the whole budget probing with
+        # un-laddered parameters (measured on mittelmann-m at 100k:
+        # stage1 25k + one 71k round, nothing left when the ladder
+        # kicked in).  Once the ladder has fired twice (boost >= 4) the
+        # round may take everything that remains.
+        cap = (
+            kkt_left if round_boost >= 4
+            else max(int(0.45 * kkt_left), 4000)
+        )
         round_kkt = min(
-            kkt_left,
+            cap,
             (cfg.refine_round_kkt
              or max(4000, 3 * stage1_kkt, cfg.max_kkt // 12))
             * round_boost,
@@ -931,8 +947,22 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
             rp_new = np.concatenate([np.maximum(rp_new[:m_ineq], 0.0),
                                      rp_new[m_ineq:]])
             pres_new = float(np.linalg.norm(rp_new))
-            _pool_primal(x_cand, pres_new, float(c @ x_cand))
-            ok_p = pres_new <= res.primal_res
+            pobj_new = float(c @ x_cand)
+            _pool_primal(x_cand, pres_new, pobj_new)
+            # Accept a primal fold that improves FEASIBILITY — or one
+            # that improves the OBJECTIVE while staying comfortably
+            # inside the feasibility criterion.  Feasibility-monotone
+            # acceptance alone freezes the incumbent at the first
+            # 1e-13-feasible point it reaches: no correction can beat
+            # that residual, so a feasible-but-suboptimal x re-centers
+            # every subsequent round on itself (measured on
+            # mittelmann-m: pres 1.8e-13 with the OBJECTIVE stuck
+            # 2.7e-3 high and the dual already optimal — the exact
+            # mirror of the dual-side freeze).
+            ok_p = pres_new <= res.primal_res or (
+                pres_new <= 0.5 * cfg.tol * (1.0 + q_norm)
+                and pobj_new < res.prim_obj
+            )
             if ok_p:
                 xh = x_cand
                 ap_limit = min(ap_limit * 4.0, 1e28)
