@@ -461,63 +461,39 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
     auto = cfg.escalation_scheme == "auto" and cfg.step_scheme == "vanilla"
     base = cfg.replace(adaptive=True) if (auto and not cfg.adaptive) else cfg
 
-    # ---- stage 1: plain fp32 coarse solve, by TOLERANCE DECADES under a
-    # budget gate.  Refinement re-centers from ANY incumbent, so the
-    # coarse stage exists only to hand it a cheap one — but the cost of
-    # one more decade is wildly instance-dependent (mittelmann-l reaches
-    # 1e-4 in ~1.3k passes while its 1e-6 decade alone burns >100k;
-    # round 3 required a hand --escalation_tol 1e-4 for exactly this).
-    # Descending one decade at a time, warm-started, and stopping the
-    # descent when the stage has spent 40% of the global budget (or a
-    # decade exhausts its slice) automates that choice: easy instances
-    # still reach cfg.escalation_tol exactly as before, hard ones stop
-    # at whatever decade their conditioning affords and let the
-    # corrections (each a fresh O(1)-conditioned LP) do the rest. ----
+    # ---- stage 1: plain fp32 coarse solve, capped at 40% of the
+    # global budget.  Refinement re-centers from ANY incumbent, so the
+    # coarse stage exists only to hand it a cheap one — but its cost is
+    # wildly instance-dependent (mittelmann-l reaches 1e-4 in ~1.3k
+    # passes while its 1e-6 target alone burns >100k; round 3 required
+    # a hand --escalation_tol 1e-4 for exactly this).  The cap automates
+    # that flag: easy instances certify cfg.escalation_tol well inside
+    # the slice exactly as before, and a conditioning-hard coarse stage
+    # stops at the cap with whatever incumbent it reached — the
+    # corrections (each a fresh O(1)-conditioned LP) do the rest.
+    # (A tolerance-decade ladder was tried here first and measured
+    # WORSE: PDHG restarts make warm starts weak, so each decade re-pays
+    # most of the previous one, and an aborted decade still burns its
+    # whole slice — mittelmann-s spent 40k where the single capped call
+    # spends 17k.) ----
     coarse_tol = max(cfg.escalation_tol, cfg.tol)
     stage_cap = max(int(0.4 * cfg.max_kkt), 1)
-    decades = [max(coarse_tol, 1e-4)]
-    while decades[-1] > coarse_tol * 1.0000001:
-        decades.append(max(decades[-1] * 0.1, coarse_tol))
-    s1 = None
-    k_total = n_total = j_total = 0
-    history = [] if log_history else None
-    for d_i, d_tol in enumerate(decades):
-        left = stage_cap - j_total
-        if left <= 0:
-            break
-        r = solve_fn(
-            problem, base.replace(tol=d_tol, max_kkt=left),
-            dtype=jnp.float32,
-            time_used=time_used + (time.perf_counter() - start),
-            log_history=log_history,
-            checkpoint_path=checkpoint_path if d_i == 0 else None,
-            resume=resume if d_i == 0 else False,
-            x0=x0 if s1 is None else s1.x,
-            y0=y0 if s1 is None else s1.y,
-            **kw,
-        )
-        k_total += r.iterations
-        n_total += r.restarts
-        j_total += r.kkt_passes
-        if r.history is not None and history is not None:
-            history.extend(r.history)
-        if r.status == Status.SOLVED:
-            s1 = r
-            continue
-        if r.status == Status.KKT_LIMIT and s1 is not None:
-            # This decade's cost exploded; keep the previous decade's
-            # certified incumbent and move on to the corrections.
-            _dbg(f"stage1: decade {d_tol:g} hit its budget slice; "
-                 f"refining from the {decades[d_i - 1]:g} incumbent")
-            break
-        # First decade failed, or a terminal status (certificates,
-        # time limit): nothing useful to refine from.
-        return dataclasses.replace(
-            r, iterations=k_total, restarts=n_total, kkt_passes=j_total,
-        )
+    s1 = solve_fn(
+        problem, base.replace(tol=coarse_tol, max_kkt=stage_cap),
+        dtype=jnp.float32, time_used=time_used, log_history=log_history,
+        checkpoint_path=checkpoint_path, resume=resume, x0=x0, y0=y0, **kw,
+    )
+    if s1.status == Status.KKT_LIMIT:
+        _dbg(f"stage1: budget cap {stage_cap} hit before {coarse_tol:g}; "
+             "refining from the incumbent")
+    elif s1.status != Status.SOLVED:
+        # Certificates / time limit are terminal as-is.
+        return s1
+    k_total, n_total, j_total = s1.iterations, s1.restarts, s1.kkt_passes
+    stage1_kkt = j_total
+    history = list(s1.history) if s1.history is not None else None
     xh = np.asarray(s1.x, dtype=np.float64)
     yh = np.asarray(s1.y, dtype=np.float64)
-    stage1_kkt = j_total
 
     # Corrections run in the all-equality slack form (module docstring).
     K_aug = _slack_form(K64, m_ineq)
@@ -619,6 +595,10 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
     best = None  # (score, xh, yh, res)
     stall = 0
     res = None
+    joint_taken = False  # last round accepted a JOINT fold: its combined
+    # score is transiently worse (feasibility regressed by design, to be
+    # repaired by the next correction), so the best-score re-centering
+    # below must not immediately revert it
 
     def _score(r):
         return (
@@ -647,7 +627,8 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
         # on mittelmann-m: 2500-column "interior", stationarity residual
         # 8.1 — every LSMR pass wasted); 1e-5 admits every incumbent that
         # has ever produced a useful polish and skips the noise.
-        if cfg.refine_polish and res.primal_res <= 1e-5 * (1.0 + q_norm):
+        if cfg.refine_polish and res.primal_res <= 1e-5 * (1.0 + q_norm) \
+                and cfg.max_kkt - j_total > 0:
             _dbg("polish: start")
             gap_target = 0.05 * cfg.tol * (
                 1.0 + abs(res.prim_obj) + abs(res.adjusted_dual)
@@ -686,11 +667,16 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
             stall += 1
         if best is None or score < best[0]:
             best = (score, xh.copy(), yh.copy(), res)
-        elif score > 4.0 * best[0]:
+        elif score > 4.0 * best[0] and not joint_taken:
             # The last fold regressed; re-center the next round on the
-            # best incumbent instead of compounding the damage.
+            # best incumbent instead of compounding the damage.  (A
+            # joint-fold round is exempt: its feasibility regression is
+            # deliberate and the next correction repairs it — measured
+            # on mittelmann-m, reverting here re-froze the gap at
+            # -4.8e-3 after the joint fold had brought it to -4.4e-4.)
             _, xh, yh, res = best
             xh, yh = xh.copy(), yh.copy()
+        joint_taken = False
         if _terminated(res, q_norm, c_norm, cfg.tol,
                        cfg.abs_gap_termination):
             return _result(res, Status.SOLVED)
@@ -904,19 +890,30 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
             """One correction solve + guarded fold.  Returns
             (accepted_primal, accepted_dual, inner_status)."""
             nonlocal xh, yh, k_total, n_total, j_total, ap_limit, \
-                ad_limit, zc_factor, round_boost, om_scale, history
+                ad_limit, zc_factor, round_boost, om_scale, history, \
+                joint_taken
             corr = LPProblem(
                 c=c2, K=K_mat, q=q_t, m_ineq=0, l=l2, u=u2,
                 name=f"{problem.name}+refine{rnd}",
             )
+            # The omega override applies to DUAL-dominant corrections
+            # only (primal already certifies; ||q~|| ~ 0 degenerates the
+            # solver's norm rule).  Feasibility-repair rounds keep the
+            # rule: their q~ is O(1) by construction, the rule value is
+            # sane there, and overriding it measurably breaks them
+            # (mittelmann-m: the post-joint-fold repair round folded to
+            # a REJECTED primal under the override).
             om0 = (
                 (alpha_d / alpha_p)
                 * (1.0 + float(np.linalg.norm(yh)))
                 / (1.0 + float(np.linalg.norm(xh)))
                 * om_scale
+                if res.primal_res <= 0.5 * cfg.tol * (1.0 + q_norm)
+                else None
             )
             _dbg(f"inner solve: shape={K_mat.shape} tol={inner_cfg.tol:.1e} "
-                 f"budget={inner_cfg.max_kkt} omega0={om0:.3e}")
+                 f"budget={inner_cfg.max_kkt} omega0="
+                 + (f"{om0:.3e}" if om0 is not None else "rule"))
             dump = os.environ.get("TPDLP_REFINE_DUMP")
             if dump:
                 np.savez(f"{dump}_r{rnd}.npz", c2=c2, q_t=q_t, l2=l2,
@@ -1025,6 +1022,31 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
                 zc_factor = min(zc_factor * 10.0, 100.0)
                 round_boost = min(round_boost * 2, 8)
                 om_scale = max(om_scale / 10.0, 1e-3)
+            if not (ok_p and ok_d):
+                # JOINT acceptance: the pair (x_cand, y_cand) can close
+                # most of the gap TOGETHER while failing both per-side
+                # guards — measured on mittelmann-m: joint fold gap
+                # -8e-5 (certifying scale) with pres 5.4e-5, where the
+                # primal guard rejects (feasibility regressed from
+                # 1.8e-13) and the dual-only fold against the OLD x
+                # shows -2.9e-3.  A 5e-5 feasibility error is exactly
+                # what the next round's correction repairs in one cheap
+                # solve, whereas the old incumbent's gap was frozen —
+                # so take the pair when the joint gap improves 4x and
+                # the feasibility regression stays recoverable.
+                gap_joint = d_new - pobj_new
+                if (
+                    abs(gap_joint) <= 0.25 * abs(res.gap)
+                    and pres_new <= 1e-3 * (1.0 + q_norm)
+                    and rd_new <= max(res.dual_res,
+                                      cfg.tol * (1 + c_norm))
+                ):
+                    _dbg(f"joint fold accepted: gap {res.gap:.3e} -> "
+                         f"{gap_joint:.3e}, pres -> {pres_new:.2e}")
+                    xh = x_cand
+                    yh = y_cand
+                    ok_p = ok_d = True
+                    joint_taken = True
             return ok_p, ok_d, r.status
 
         ok_p, ok_d, st = _attempt(K_aug, c_t, l_t, u_t)
