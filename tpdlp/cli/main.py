@@ -71,6 +71,11 @@ def parse_args(argv=None):
                    help="solve the whole folder as one vmapped fleet "
                         "(same-device batch; ragged shapes padded)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--abs_gap_termination", action="store_true",
+                   help="certify |gap| <= tol(1+|p|+|d|), the standard "
+                        "PDLP criterion; default matches the reference's "
+                        "signed gap (helpers.py:127), which any negative "
+                        "gap satisfies")
     return p.parse_args(argv)
 
 
@@ -113,6 +118,7 @@ def main(argv=None):
         infeasibility_detect=args.infeasibility_detect,
         infeas_tol=args.infeas_tol,
         step_scheme=args.step_scheme,
+        abs_gap_termination=args.abs_gap_termination,
         verbose=args.verbose,
     )
 

@@ -460,6 +460,13 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
 
     auto = cfg.escalation_scheme == "auto" and cfg.step_scheme == "vanilla"
     base = cfg.replace(adaptive=True) if (auto and not cfg.adaptive) else cfg
+    if m * n >= 5e7 and cfg.chunk_kkt_max == SolverConfig().chunk_kkt_max:
+        # Large instances: bound each device dispatch to ~10 s — a
+        # minute-long dispatch can wedge remote-tunnel backends, and the
+        # refinement loop's per-round budgets make many medium chunks
+        # free.  Automates round 3's hand --chunk_kkt_max 2000 on
+        # mittelmann-l; an explicit user setting is honored as-is.
+        base = base.replace(chunk_kkt_max=2000)
 
     # ---- stage 1: plain fp32 coarse solve, capped at 40% of the
     # global budget.  Refinement re-centers from ANY incumbent, so the
