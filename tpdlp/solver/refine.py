@@ -167,7 +167,7 @@ def _elastic_form(K_aug):
 
 def _active_set_polish(K64, c, q, l, u, m_ineq, xh, yh, res,
                        q_norm, c_norm, tol, *, eps_rel, gap_target=0.0,
-                       max_passes=16, max_outer=3):
+                       max_passes=16, max_outer=3, max_matvecs=np.inf):
     """Crossover-style host-fp64 polish of the incumbent pair.
 
     First-order iterates approach the optimal face geometrically slowly
@@ -294,18 +294,35 @@ def _active_set_polish(K64, c, q, l, u, m_ineq, xh, yh, res,
                 Bm.size / max(m * n, 1)
             )
 
+        def _lsmr_iter_cap(Bm):
+            """LSMR iteration allowance under the remaining matvec budget
+            (each LSMR iteration is one mv + one rmv of Bm).  Returns 0
+            when the budget is spent — the polish must stop, not
+            overdraw; the KKT budget is a parity contract."""
+            rem = max_matvecs - matvecs
+            if not np.isfinite(rem):
+                return 5000
+            if rem <= 0:
+                return 0
+            return int(min(5000, max(1.0, rem / max(
+                2.0 * _nnz_frac(Bm), 1e-12
+            ))))
+
         # ---- dual repair loop ----
         y_warm = None
         no_gain = 0
         pass_val = -np.inf
         B = _block()
         for _ in range(max_passes):
+            it_cap = _lsmr_iter_cap(B)
+            if it_cap == 0:
+                break  # matvec budget spent
             ii = interior.nonzero()[0]
             # atol/btol at fp64 working precision: the value tracking
             # judges the outcome, LSMR just has to get close.  maxiter
             # must reach actual convergence (round 3's 400 returned a
-            # 6e-3-residual transient).
-            out = lsmr(B.T, c[ii], atol=1e-14, btol=1e-14, maxiter=5000,
+            # 6e-3-residual transient) — subject to the matvec budget.
+            out = lsmr(B.T, c[ii], atol=1e-14, btol=1e-14, maxiter=it_cap,
                        x0=y_warm)
             matvecs += 2 * int(out[2]) * _nnz_frac(B)
             y_warm = out[0]
@@ -336,7 +353,14 @@ def _active_set_polish(K64, c, q, l, u, m_ineq, xh, yh, res,
             else:
                 no_gain += 1
             dist = np.where(r0 > 0, d_lo[ii], d_hi[ii])
-            loss = float(np.sum(dist * np.abs(r0)))
+            # A column with an infinite bound on its residual side can
+            # never snap there (a drop would set x_j = +-inf); it
+            # contributes nothing attainable to the loss either —
+            # inf * |r0| -> inf/nan would disable the loss-based early
+            # exit exactly on the mixed-bound instances that need it.
+            dist_fin = np.isfinite(dist)
+            loss = float(np.sum(np.where(dist_fin, dist, 0.0)
+                                * np.abs(r0)))
             _dbg(f"polish-dual[{outer}]: int={len(ii)} "
                  f"tight={int(tight.sum())} normr={float(out[3]):.2e} "
                  f"loss={loss:.3e} val={val:.9e} "
@@ -369,8 +393,18 @@ def _active_set_polish(K64, c, q, l, u, m_ineq, xh, yh, res,
                         y_warm = None
                         moved = True
             if not moved:
-                eff = np.abs(r0) / np.maximum(dist, 1e-12)
+                # Drop candidates must have a FINITE bound on the
+                # residual side (mask to -inf, not 0: with every finite
+                # eff at 0 an unmasked argmax picks an infinite-bound
+                # column and the snap explodes to +-inf).
+                eff = np.where(
+                    dist_fin,
+                    np.abs(r0) / np.maximum(dist, 1e-12),
+                    -np.inf,
+                )
                 j = int(np.argmax(eff))
+                if eff[j] == -np.inf:
+                    break  # no droppable column remains
                 cj = ii[j]
                 _dbg(f"polish-drop: col={cj} r0={r0[j]:.2e} "
                      f"dist={dist[j]:.2e}")
@@ -390,11 +424,14 @@ def _active_set_polish(K64, c, q, l, u, m_ineq, xh, yh, res,
             ti = tight_primal.nonzero()[0]
             Bp = (Kr[ti][:, interior.nonzero()[0]] if sparse
                   else Kr[np.ix_(tight_primal, interior)])
-            r_t = q[ti] - Kr[ti] @ x_cand
-            out = lsmr(Bp, r_t, atol=1e-14, btol=1e-14, maxiter=5000)
-            matvecs += 2 * int(out[2]) * _nnz_frac(Bp) + 1
-            ii = interior.nonzero()[0]
-            x_cand[ii] = np.clip(x_cand[ii] + out[0], l[ii], u[ii])
+            it_cap = _lsmr_iter_cap(Bp)
+            if it_cap:
+                r_t = q[ti] - Kr[ti] @ x_cand
+                out = lsmr(Bp, r_t, atol=1e-14, btol=1e-14,
+                           maxiter=it_cap)
+                matvecs += 2 * int(out[2]) * _nnz_frac(Bp) + 1
+                ii = interior.nonzero()[0]
+                x_cand[ii] = np.clip(x_cand[ii] + out[0], l[ii], u[ii])
         rp_cand = q - K64 @ x_cand
         matvecs += 1.0
         pres = float(np.linalg.norm(np.concatenate([
@@ -641,9 +678,14 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
                 1.0 + abs(res.prim_obj) + abs(res.adjusted_dual)
             )
             for eps_rel in (1e-5, 1e-7):
+                if cfg.max_kkt - j_total <= 0:
+                    break  # budget spent mid-polish
                 x_c, y_c, mv = _active_set_polish(
                     K64, c, q, l, u, m_ineq, xh, yh, res, q_norm, c_norm,
                     cfg.tol, eps_rel=eps_rel, gap_target=gap_target,
+                    # Matvec allowance from the remaining KKT budget
+                    # (one KKT pass == one mv+rmv pair == 2 matvecs).
+                    max_matvecs=2.0 * (cfg.max_kkt - j_total),
                 )
                 j_total += (mv + 1) // 2
                 cand_best = None
@@ -848,9 +890,14 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
         # stage1 25k + one 71k round, nothing left when the ladder
         # kicked in).  Once the ladder has fired twice (boost >= 4) the
         # round may take everything that remains.
+        # Both arms clamp to the REMAINING budget: the 4000-pass floor
+        # exists to stop round starvation on big-budget runs, not to
+        # overdraw small budgets (budget honesty is a parity property —
+        # the reference enforces j < max_kkt in both loops,
+        # primal_dual_hybrid_gradient.py:54,67).
         cap = (
             kkt_left if round_boost >= 4
-            else max(int(0.45 * kkt_left), 4000)
+            else min(kkt_left, max(int(0.45 * kkt_left), 4000))
         )
         round_kkt = min(
             cap,

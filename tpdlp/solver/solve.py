@@ -641,7 +641,11 @@ def solve(
             and (
                 cfg.tol < cfg.escalation_tol
                 or (
-                    matrix_format == "sparse"
+                    # 'auto' resolves via the autotuner and may land on
+                    # block-ELL on TPU, so it gets the same reroute: a
+                    # dense resolution merely takes the (sound either
+                    # way) refinement route one decade early.
+                    matrix_format in ("sparse", "auto")
                     and cfg.tol < _SPARSE_SOUND_TOL
                     and _mxu_noisy()
                 )
@@ -668,30 +672,34 @@ def solve(
                     log_history=log_history,
                 )
 
-    if (
+    # Explicitly-forced fp32 noisy-product layout below the sound
+    # envelope: the caller opted out of the escalation reroute above
+    # (explicit dtype / warm start / escalation off), so say plainly what
+    # the certificate is worth.  Internal escalation/refinement inner
+    # solves pass _noisy_products_ok (their fp64 host residuals are the
+    # judge).  The warning fires AFTER layout resolution, below, so that
+    # matrix_format='auto' runs that resolve to a gather/ELL layout are
+    # covered too (the round-4 pre-resolution guard missed 'auto').
+    _noisy_tight_fp32 = (
         not _noisy_products_ok
-        and matrix_format == "sparse"
         and jnp.dtype(dtype) == jnp.float32
         and cfg.tol < _SPARSE_SOUND_TOL
         and _mxu_noisy()
-    ):
-        # Explicitly-forced fp32 block-ELL below the sound envelope: the
-        # caller opted out of the escalation reroute above (explicit
-        # dtype / warm start / escalation off), so say plainly what the
-        # certificate is worth.  Internal escalation/refinement inner
-        # solves pass _noisy_products_ok (their fp64 host residuals are
-        # the judge).
+    )
+
+    def _warn_noisy_sparse():
         import warnings
 
         warnings.warn(
-            f"matrix_format='sparse' at tol={cfg.tol:g} on a "
-            "reduced-precision-MXU backend: block-ELL products carry "
-            "~1e-5 relative error and have no exact-fp32 twin, so "
-            f"termination is sound only for tol >= {_SPARSE_SOUND_TOL:g}"
-            " on this path. Use dtype=None (escalates through iterative "
-            "refinement), matrix_format='dense'/'band' (exact-fp32 "
-            "kernels), or treat the result as ~1e-4-certified.",
-            stacklevel=2,
+            f"matrix_format={matrix_format!r} resolved to a block-ELL/"
+            f"BCOO layout at tol={cfg.tol:g} on a reduced-precision-MXU "
+            "backend: its products carry ~1e-5 relative error and have "
+            "no exact-fp32 twin, so termination is sound only for tol "
+            f">= {_SPARSE_SOUND_TOL:g} on this path. Use dtype=None "
+            "(escalates through iterative refinement), "
+            "matrix_format='dense'/'band' (exact-fp32 kernels), or "
+            "treat the result as ~1e-4-certified.",
+            stacklevel=3,
         )
 
     if mesh is None:
@@ -733,6 +741,12 @@ def solve(
         if cache_key is not None:
             # Store a copy for the same donation reason as above.
             op_cache[cache_key] = jax.tree_util.tree_map(jnp.copy, op)
+        if _noisy_tight_fp32:
+            from tpdlp.ops.blocked import BlockEllOp
+            from tpdlp.ops.sparse import SparseOp
+
+            if isinstance(op, (BlockEllOp, SparseOp)):
+                _warn_noisy_sparse()
     else:
         import scipy.sparse as sp
 
@@ -808,6 +822,8 @@ def solve(
             op = shard_block_ell(
                 BlockEllOp.from_scipy(coo, dtype, host=True), mesh
             )
+            if _noisy_tight_fp32:
+                _warn_noisy_sparse()
             _, vec_s, _ = flat_shardings(mesh)
             yvec_s = xvec_s = vec_s
         else:
