@@ -48,13 +48,51 @@ def test_state_save_load_roundtrip(tmp_path):
 
 
 def test_normalized_certificates_detect_infeasible():
+    """The normalized families now only fire through Farkas VALIDATION
+    of the candidate ray (round-5 soundness fix: the raw convergence
+    trigger false-fired on any converging solve at small k).  Normalized
+    iterates converge O(1/k), so the validated family needs
+    ~||data||/infeas_tol iterations — a slow-but-sound diagnostic; the
+    primary consecutive/window-diff family stays the fast path."""
+    from tpdlp.io.generator import generate_unbounded_lp
+
+    # y/k family on a moderate-box infeasible LP (the generator's
+    # default +-1e6 box multiplies the candidate's lambda-noise by 1e6
+    # in the Farkas value test — no honest certificate can fire there).
     p = generate_infeasible_lp(seed=3)
+    p.l[:] = -10.0
+    p.u[:] = 10.0
     cfg = SolverConfig(
-        tol=1e-6, max_kkt=60_000, normalized_certificates=True,
+        tol=1e-8, max_kkt=200_000, normalized_certificates=True,
+        infeas_tol=1e-2,
     )
     r = solve(p, cfg)
-    # The y/k family should flag dual unboundedness (primal infeasible).
     assert r.status == Status.PRIMAL_INFEASIBLE
+
+    # x/k family on an unbounded LP.
+    pu = generate_unbounded_lp(seed=1)
+    r2 = solve(pu, SolverConfig(tol=1e-8, max_kkt=60_000,
+                                normalized_certificates=True,
+                                infeas_tol=1e-2))
+    assert r2.status == Status.DUAL_INFEASIBLE
+
+
+def test_normalized_certificates_never_fire_wrong_side():
+    """Soundness regression (round-5): the unvalidated trigger labelled a
+    planted-UNBOUNDED instance PRIMAL_INFEASIBLE at k=35.  Validated, the
+    wrong-side candidate must never certify — the solve either finds the
+    correct certificate or exhausts its budget honestly."""
+    from tpdlp.io.generator import generate_unbounded_lp
+
+    pu = generate_unbounded_lp(n=30, m_ineq=10, seed=0)
+    r = solve(pu, SolverConfig(tol=1e-6, max_kkt=20_000,
+                               normalized_certificates=True))
+    assert r.status != Status.PRIMAL_INFEASIBLE
+
+    pi = generate_infeasible_lp(seed=3)  # +-1e6 box: lambda-noise 1e6x
+    r2 = solve(pi, SolverConfig(tol=1e-6, max_kkt=20_000,
+                                normalized_certificates=True))
+    assert r2.status != Status.DUAL_INFEASIBLE
 
 
 def test_load_checkpoint_missing_new_fields(tmp_path):

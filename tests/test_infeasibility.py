@@ -95,3 +95,32 @@ def test_normalized_certificate_families():
         ),
     )
     assert r.status == Status.SOLVED, r.status_string
+
+
+def test_certificates_fire_under_adaptive_pwu_at_scale():
+    """Round-5: the production flag set (ruiz + adaptive + pwu) must
+    still certify at suite scale.  Two fixes make this pass: the
+    restart-WINDOW ray family (consecutive diffs are jittered by
+    adaptive retry/accept stepsizes — a planted-unbounded LP went
+    undetected for 28k adaptive iterations) and the omega clamp
+    (cfg.omega_clamp: the pwu spiral blew the primal stepsize up ~3e5x
+    on a planted-infeasible LP and destroyed the dual ray)."""
+    from tpdlp.io.generator import generate_unbounded_lp
+
+    full = SolverConfig(
+        tol=1e-6, max_kkt=100_000, infeasibility_detect=True,
+        scaling="ruiz", adaptive=True, primal_weight_update=True,
+    )
+    pu = generate_unbounded_lp(n=757, m_ineq=280, seed=1)
+    assert solve(pu, full).status == Status.DUAL_INFEASIBLE
+    pi = generate_infeasible_lp(n=757, m_eq=280, density=0.05, seed=1)
+    assert solve(pi, full).status == Status.PRIMAL_INFEASIBLE
+
+
+def test_omega_clamp_zero_restores_reference_behavior():
+    """omega_clamp=0 disables the guard (exact reference update rule)."""
+    p = generate_feasible_lp(n=40, m_ineq=25, m_eq=8, seed=5)
+    cfg = SolverConfig(tol=1e-6, scaling="ruiz", adaptive=True,
+                       primal_weight_update=True, omega_clamp=0.0)
+    r = solve(p, cfg)
+    assert r.status == Status.SOLVED

@@ -157,7 +157,7 @@ def test_polish_charged_kkt_matches_actual_matvecs():
     import scipy.sparse.linalg
     scipy.sparse.linalg.lsmr = counting_lsmr
     try:
-        _, _, charged = _active_set_polish(
+        _, _, charged, _ = _active_set_polish(
             K, c, q, l, u, p.m_ineq, xh, yh, res,
             float(np.linalg.norm(q)), float(np.linalg.norm(c)), 1e-9,
             eps_rel=1e-5,
@@ -193,7 +193,7 @@ def test_polish_respects_matvec_budget():
     yh = np.asarray(r.y, float)
     res = host_residuals(K, c, q, l, u, p.m_ineq, xh, yh)
     budget = 40.0
-    _, _, charged = _active_set_polish(
+    _, _, charged, _ = _active_set_polish(
         K, c, q, l, u, p.m_ineq, xh, yh, res,
         float(np.linalg.norm(q)), float(np.linalg.norm(c)), 1e-9,
         eps_rel=1e-5, max_matvecs=budget,
@@ -297,5 +297,52 @@ def test_refine_escapes_feasible_suboptimal_freeze():
                        adaptive=True, abs_gap_termination=True)
     r = solve_refined(p, cfg, solve_fn=solve, seed=0)
     assert r.status == Status.SOLVED, r.status_string
+    o = solve_oracle(p)
+    assert abs(r.objective - o.fun) / (1 + abs(o.fun)) < 1e-8
+
+
+def test_slack_form_banded_is_column_permutation():
+    """_slack_form_banded must equal the plain slack form up to the
+    returned column permutation and stay band-like both ways."""
+    from tpdlp.io.generator import generate_banded_lp
+    from tpdlp.ops.band import band_stored_elems
+    from tpdlp.solver.refine import _slack_form, _slack_form_banded
+
+    p = generate_banded_lp(n=2048, m_ineq=1024, m_eq=512, bandwidth=65,
+                           seed=3)
+    K64 = p.K.tocsr().astype(np.float64)
+    out = _slack_form_banded(K64, p.m_ineq)
+    assert out is not None, "banded K must keep the band layout"
+    K_perm, cols = out
+    K_aug = _slack_form(K64, p.m_ineq).tocsr()
+    # Permutation round trip: K_perm[:, inv] == K_aug.
+    inv = np.empty_like(cols)
+    inv[np.arange(cols.size)] = cols
+    assert (K_perm.tocsc()[:, np.argsort(cols)] != K_aug).nnz == 0
+    assert band_stored_elems(K_perm) is not None
+    # The PLAIN slack form is NOT band-like (the downgrade this fixes).
+    assert band_stored_elems(K_aug) is None
+
+
+def test_refine_banded_keeps_band_format_end_to_end():
+    """A banded instance refines to 1e-9 with matrix_format='band':
+    corrections ride the interleaved band slack form (round-4 verdict
+    item 6 — they used to silently downgrade to generic sparse)."""
+    from tpdlp.io.generator import generate_banded_lp
+
+    p = generate_banded_lp(n=1024, m_ineq=512, m_eq=256, bandwidth=33,
+                           seed=1)
+    tol = 1e-9
+    cfg = SolverConfig(tol=tol, max_kkt=400_000, scaling="ruiz",
+                       adaptive=True, abs_gap_termination=True)
+    cache = {}
+    r = solve_refined(p, cfg, solve_fn=solve, seed=0,
+                      matrix_format="band", op_cache=cache)
+    assert r.status == Status.SOLVED, r.status_string
+    _assert_certified(p, r, tol)
+    # The correction operator cached under the band format proves the
+    # fast path survived (downgrade would cache under 'sparse').
+    fmts = {k[0] for k in cache}
+    assert "sparse" not in fmts
     o = solve_oracle(p)
     assert abs(r.objective - o.fun) / (1 + abs(o.fun)) < 1e-8

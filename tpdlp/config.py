@@ -97,6 +97,17 @@ class SolverConfig:
     # Primal-weight (omega) update (PDLP/enhancements.py:73-78).
     primal_weight_update: bool = False
     theta_smooth: float = 0.5
+    #: Clamp omega to [omega0/omega_clamp, omega0*omega_clamp] after each
+    #: update.  Beyond-reference robustness guard: on INFEASIBLE problems
+    #: the update spirals (the diverging side inflates its ratio term
+    #: every restart — measured omega 1 -> 3e-7 in 9 restarts on a
+    #: planted-infeasible LP, which blows the primal stepsize up ~3e5x,
+    #: makes x slam the box walls, and destroys the dual ray the
+    #: certificates need).  Measured on the planted 757-col pair:
+    #: clamp 1e4 still misses the infeasible ray in 100k passes; 1e2
+    #: certifies both sides in <8k iterations while leaving 4 decades
+    #: of legitimate adaptation.  0 disables (exact reference behavior).
+    omega_clamp: float = 1e2
 
     # Infeasibility certificates (PDLP/enhancements.py:80-161).
     infeasibility_detect: bool = False

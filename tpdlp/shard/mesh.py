@@ -222,10 +222,10 @@ def shard_device_problem(pb, mesh: Mesh):
 # an unknown vector field falls back to replicated (correct, just slower).
 _X_FIELDS = frozenset({
     "x", "kty", "x_prev", "kty_prev", "lam_prev", "x_norm_prev",
-    "x_plain_sum", "x_sum", "x_restart", "kty_restart",
+    "x_plain_sum", "kty_plain_sum", "x_sum", "x_restart", "kty_restart",
 })
 _Y_FIELDS = frozenset({
-    "y", "kx", "y_prev", "kx_prev", "y_norm_prev", "y_plain_sum",
+    "y", "kx", "y_prev", "kx_prev", "y_norm_prev", "y_plain_sum", "kx_plain_sum",
     "y_sum", "y_restart", "kx_restart",
 })
 

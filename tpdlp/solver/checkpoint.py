@@ -48,6 +48,9 @@ def load_state(path, dtype=None) -> PDHGState:
     defaults = {
         "x_plain_sum": lambda: np.zeros_like(z["x"]),
         "y_plain_sum": lambda: np.zeros_like(z["y"]),
+        "kx_plain_sum": lambda: np.zeros_like(z["y"]),
+        "kty_plain_sum": lambda: np.zeros_like(z["x"]),
+        "omega_init": lambda: np.asarray(z["omega"]),
         # Anchor operator products: placeholders only — solve() recomputes
         # them from the operator right after a resume (they must equal
         # K @ x_restart / K' @ y_restart for the Halpern scheme).

@@ -46,26 +46,11 @@ def _normalize(v, norm):
     return jnp.where(norm > 0.0, v / jnp.where(norm > 0.0, norm, 1.0), 0.0)
 
 
-def detect_infeasibility(
-    pb,
-    x, y, x_prev, y_prev,
-    lam, lam_prev,
-    k_dx,  # (m,)  K (x - x_prev), from carried products
-    kt_dy,  # (n,)  K'(y - y_prev)
-    tol,
-):
-    """Return an int32 status: RUNNING, DUAL_INFEASIBLE or PRIMAL_INFEASIBLE."""
-    dx = x - x_prev
-    dy = y - y_prev
-    dlam = lam - lam_prev
-
+def primal_ray_certifies(pb, r, k_r, tol):
+    """Farkas conditions for a (unit-normalised) primal ray r with its
+    product k_r = K r: A r ~ 0, G r >= -tol, strict descent c'r <= -tol,
+    and recession-cone membership of [l, u]."""
     ineq = pb.ineq_mask
-
-    # ---- Dual infeasibility (primal unbounded ray) ----
-    dx_norm = jnp.linalg.norm(dx)
-    r = _normalize(dx, dx_norm)
-    k_r = _normalize(k_dx, dx_norm)
-
     eq_part = jnp.where(ineq, 0.0, k_r)
     ineq_part = jnp.where(ineq, k_r, jnp.inf)  # inf passes the >= -tol test
 
@@ -81,26 +66,50 @@ def detect_infeasibility(
     ok &= jnp.where(lo_only, r >= -tol, True)
     ok &= jnp.where(hi_only, r <= tol, True)
     bounds_ok = jnp.all(ok)
+    return equality_ok & inequality_ok & objective_ok & bounds_ok
 
-    dual_infeasible = equality_ok & inequality_ok & objective_ok & bounds_ok
+
+def dual_ray_certifies(pb, yr, lr, kt_yr, tol):
+    """Farkas conditions for a (unit-normalised) dual ray (yr, lr) with
+    kt_yr = K' yr: stationarity K'yr ~ lr, cone sign on inequality
+    duals, and strictly positive dual-objective growth rate (the
+    adjusted-dual pairing, PDLP/helpers.py:81-84)."""
+    ineq = pb.ineq_mask
+    dual_res_ok = jnp.linalg.norm(kt_yr - lr) <= tol
+    dy_sign_ok = jnp.all(jnp.where(ineq, yr, 0.0) >= -tol)
+    combo = (
+        jnp.dot(pb.q, yr)
+        + jnp.dot(pb.l_dual, jnp.maximum(lr, 0.0))
+        + jnp.dot(pb.u_dual, jnp.minimum(lr, 0.0))
+    )
+    return dual_res_ok & dy_sign_ok & (combo >= tol)
+
+
+def detect_infeasibility(
+    pb,
+    x, y, x_prev, y_prev,
+    lam, lam_prev,
+    k_dx,  # (m,)  K (x - x_prev), from carried products
+    kt_dy,  # (n,)  K'(y - y_prev)
+    tol,
+):
+    """Return an int32 status: RUNNING, DUAL_INFEASIBLE or PRIMAL_INFEASIBLE."""
+    dx = x - x_prev
+    dy = y - y_prev
+    dlam = lam - lam_prev
+
+    # ---- Dual infeasibility (primal unbounded ray) ----
+    dx_norm = jnp.linalg.norm(dx)
+    r = _normalize(dx, dx_norm)
+    k_r = _normalize(k_dx, dx_norm)
+    dual_infeasible = primal_ray_certifies(pb, r, k_r, tol)
 
     # ---- Primal infeasibility (dual unbounded ray) ----
     ray_norm = jnp.sqrt(jnp.vdot(dy, dy) + jnp.vdot(dlam, dlam))
     yr = _normalize(dy, ray_norm)
     lr = _normalize(dlam, ray_norm)
     kt_yr = _normalize(kt_dy, ray_norm)
-
-    dual_res_ok = jnp.linalg.norm(kt_yr - lr) <= tol
-    dy_sign_ok = jnp.all(jnp.where(ineq, yr, 0.0) >= -tol)
-
-    # Dual-objective growth rate along the ray (cf. adjusted dual,
-    # PDLP/helpers.py:81-84): must be strictly positive.
-    combo = (
-        jnp.dot(pb.q, yr)
-        + jnp.dot(pb.l_dual, jnp.maximum(lr, 0.0))
-        + jnp.dot(pb.u_dual, jnp.minimum(lr, 0.0))
-    )
-    primal_infeasible = dual_res_ok & dy_sign_ok & (combo >= tol)
+    primal_infeasible = dual_ray_certifies(pb, yr, lr, kt_yr, tol)
 
     return jnp.where(
         dual_infeasible,
@@ -111,6 +120,52 @@ def detect_infeasibility(
             jnp.int32(Status.RUNNING),
         ),
     )
+
+
+def validate_normalized_candidate(pb, cert, x_ray, kx_ray, y_ray, kty_ray,
+                                  tol):
+    """Gate a normalized-family trigger behind the actual Farkas
+    conditions (a deliberate fix over the reference's experiment, which
+    declares on convergence alone: InfeasibilityDetection3.py:339-390).
+
+    A CONVERGING solve passes the raw convergence+nonzero trigger in the
+    whole window k in [sqrt(|z*|/tol_conv), |z*|/tol_nonzero) — e.g. a
+    feasible LP whose y -> y* has ||y/k - y/(k-1)|| ~ ||y*||/k^2 below
+    tol_conv long before ||y*||/k falls under tol_nonzero (measured: a
+    planted-UNBOUNDED instance mislabelled PRIMAL_INFEASIBLE at k=35).
+    The trigger's candidate ray is therefore only accepted when it
+    certifies: DUAL_INFEASIBLE requires x_ray to be a Farkas primal ray,
+    PRIMAL_INFEASIBLE requires (y_ray, proj(K'y_ray)) to be a Farkas
+    dual ray.  Products come free from the carried kx/kty by linearity.
+    """
+    xr_norm = jnp.linalg.norm(x_ray)
+    r = _normalize(x_ray, xr_norm)
+    k_r = _normalize(kx_ray, xr_norm)
+    ok_primal_ray = primal_ray_certifies(pb, r, k_r, tol)
+
+    yr_norm = jnp.linalg.norm(y_ray)
+    yr = _normalize(y_ray, yr_norm)
+    kt_yr = _normalize(kty_ray, yr_norm)
+    # The valid bound-multiplier recession cone is exactly the
+    # lambda-projection cone; lr = proj(K'yr) makes the stationarity
+    # check measure the distance of K'yr FROM that cone.
+    lr = jnp.where(pb.is_neg_inf & pb.is_pos_inf, 0.0, kt_yr)
+    lr = jnp.where(pb.is_neg_inf & ~pb.is_pos_inf,
+                   jnp.minimum(lr, 0.0), lr)
+    lr = jnp.where(~pb.is_neg_inf & pb.is_pos_inf,
+                   jnp.maximum(lr, 0.0), lr)
+    ok_dual_ray = dual_ray_certifies(pb, yr, lr, kt_yr, tol)
+
+    keep = jnp.where(
+        cert == jnp.int32(Status.DUAL_INFEASIBLE),
+        ok_primal_ray,
+        jnp.where(
+            cert == jnp.int32(Status.PRIMAL_INFEASIBLE),
+            ok_dual_ray,
+            False,
+        ),
+    )
+    return jnp.where(keep, cert, jnp.int32(Status.RUNNING))
 
 
 def normalized_iterate_certificates(

@@ -46,6 +46,20 @@ def primal_weight_update(x_restart, x, y_restart, y, omega, theta_smooth):
     return jnp.where((dx > 0) & (dy > 0), new, omega)
 
 
+def _clamped_pwu(x_restart, x, y_restart, y, omega, omega_init, cfg):
+    """primal_weight_update clamped to cfg.omega_clamp decades around the
+    initial omega (see config.omega_clamp for the measured spiral this
+    guards against); clamp disabled when omega_clamp == 0."""
+    new = primal_weight_update(
+        x_restart, x, y_restart, y, omega, cfg.theta_smooth
+    )
+    if not cfg.omega_clamp:
+        return new
+    return jnp.clip(
+        new, omega_init / cfg.omega_clamp, omega_init * cfg.omega_clamp
+    )
+
+
 def _fresh_products(pb, cfg: SolverConfig, x, y, kx, kty):
     """Exact (K x, K'y) for a candidate about to be RESIDUAL-EVALUATED.
 
@@ -118,8 +132,9 @@ def _restart_check(pb, cfg: SolverConfig, st: PDHGState) -> PDHGState:
         res_r = jax.tree.map(sel, res_avg, res_cur)
 
         omega_new = (
-            primal_weight_update(
-                st.x_restart, x_r, st.y_restart, y_r, st.omega, cfg.theta_smooth
+            _clamped_pwu(
+                st.x_restart, x_r, st.y_restart, y_r, st.omega,
+                st.omega_init, cfg,
             )
             if cfg.primal_weight_update
             else st.omega
@@ -228,9 +243,9 @@ def _restart_check_halpern(pb, cfg: SolverConfig, st: PDHGState) -> PDHGState:
         res_r = jax.tree.map(sel, res_avg, res_f)
 
         omega_new = (
-            primal_weight_update(
+            _clamped_pwu(
                 st.x_restart, x_r, st.y_restart, y_r, st.omega,
-                cfg.theta_smooth,
+                st.omega_init, cfg,
             )
             if cfg.primal_weight_update
             else st.omega
@@ -358,6 +373,29 @@ def make_live(pb, cfg: SolverConfig, include_restart: bool = True):
                     kty_new - kty_old,
                     cfg.infeas_tol,
                 )
+                # Restart-window ray: the same certificates on the diff
+                # from the last restart point.  Adaptive stepsizes make
+                # CONSECUTIVE diffs noisy (the retry/accept jitter keeps
+                # the non-ray coordinates' share of the normalised ray
+                # above infeas_tol — measured: a planted-unbounded LP
+                # undetected in 28k adaptive iterations that fixed steps
+                # certify at k~1100), while the window diff averages the
+                # jitter out.  Products and the restart lambda come from
+                # carried kx/kty_restart — no extra SpMV.
+                lam_restart = R.project_lambda_box(
+                    pb.c - s.kty_restart, pb.is_neg_inf, pb.is_pos_inf
+                )
+                cert_win = detect_infeasibility(
+                    pb,
+                    x_new, y_new, s.x_restart, s.y_restart,
+                    lam, lam_restart,
+                    kx_new - s.kx_restart,
+                    kty_new - s.kty_restart,
+                    cfg.infeas_tol,
+                )
+                cert = jnp.where(
+                    cert != jnp.int32(Status.RUNNING), cert, cert_win
+                )
                 status_new = jnp.where(
                     cert != jnp.int32(Status.RUNNING), cert, s.status
                 )
@@ -370,17 +408,31 @@ def make_live(pb, cfg: SolverConfig, include_restart: bool = True):
             from tpdlp.solver.infeasibility import (
                 normalized_average_certificates,
                 normalized_iterate_certificates,
+                validate_normalized_candidate,
             )
 
             cert, x_norm, y_norm = normalized_iterate_certificates(
                 x_new, y_new, st2.x_norm_prev, st2.y_norm_prev, k_new,
                 cfg.normalized_tol_conv, cfg.normalized_tol_nonzero,
             )
+            # Farkas-validate the trigger (the raw convergence test
+            # false-fires on any converging solve at small k — see
+            # validate_normalized_candidate).  Rays are normalised
+            # inside, so the unscaled iterate and its carried products
+            # stand in for x/k, Kx/k.
+            cert = validate_normalized_candidate(
+                pb, cert, x_new, kx_new, y_new, kty_new, cfg.infeas_tol,
+            )
             xs = st2.x_plain_sum + x_new
             ys = st2.y_plain_sum + y_new
+            kxs = st2.kx_plain_sum + kx_new
+            ktys = st2.kty_plain_sum + kty_new
             cert_avg = normalized_average_certificates(
                 xs, ys, x_new, y_new, k_new,
                 cfg.normalized_tol_conv, cfg.normalized_tol_nonzero,
+            )
+            cert_avg = validate_normalized_candidate(
+                pb, cert_avg, xs, kxs, ys, ktys, cfg.infeas_tol,
             )
             fireable = k_new > 2  # both families need two history points
             status_new = jnp.where(
@@ -397,6 +449,8 @@ def make_live(pb, cfg: SolverConfig, include_restart: bool = True):
                 y_norm_prev=y_norm,
                 x_plain_sum=xs,
                 y_plain_sum=ys,
+                kx_plain_sum=kxs,
+                kty_plain_sum=ktys,
                 status=status_new,
             )
         return st2

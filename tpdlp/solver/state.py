@@ -44,6 +44,11 @@ class PDHGState:
     # (experiments/InfeasibilityDetection3.py:345-346,365-382).
     x_plain_sum: jax.Array  # (n,)
     y_plain_sum: jax.Array  # (m,)
+    # Their operator-product sums (K x_plain_sum, K' y_plain_sum by
+    # linearity, one vector add per iteration) — the Farkas validation
+    # of the normalized-average candidates needs the average's products.
+    kx_plain_sum: jax.Array  # (m,)
+    kty_plain_sum: jax.Array  # (n,)
     # eta-weighted running averages (primal_dual_hybrid_gradient.py:107-109).
     x_sum: jax.Array
     y_sum: jax.Array
@@ -60,6 +65,9 @@ class PDHGState:
     # Step sizes.
     eta: jax.Array  # scalar — stepsize for the *next* step
     omega: jax.Array  # scalar — primal weight
+    # The initial primal weight, carried so the update clamp
+    # (cfg.omega_clamp) has its anchor inside the jitted loop.
+    omega_init: jax.Array  # scalar
     # Restart metric at the current restart cycle's start (:48,153).
     # Vanilla: the candidate KKT error after the last restart.  Halpern:
     # the omega-weighted fixed-point residual ||z - T(z)|| measured at the
@@ -107,6 +115,8 @@ def init_state(pb, eta0, omega0, x0=None, y0=None) -> PDHGState:
         y_norm_prev=jnp.zeros((m,), dtype),
         x_plain_sum=jnp.zeros((n,), dtype),
         y_plain_sum=jnp.zeros((m,), dtype),
+        kx_plain_sum=jnp.zeros((m,), dtype),
+        kty_plain_sum=jnp.zeros((n,), dtype),
         x_sum=jnp.zeros((n,), dtype),
         y_sum=jnp.zeros((m,), dtype),
         eta_sum=zero,
@@ -116,6 +126,7 @@ def init_state(pb, eta0, omega0, x0=None, y0=None) -> PDHGState:
         kty_restart=kty,
         eta=jnp.asarray(eta0, dtype),
         omega=jnp.asarray(omega0, dtype),
+        omega_init=jnp.asarray(omega0, dtype),
         # KKT_first starts at 0: the artificial criterion always fires the
         # first restart (reference comment at :48).
         kkt_first=zero,
