@@ -210,7 +210,7 @@ def _elastic_form(K_aug):
 def _active_set_polish(K64, c, q, l, u, m_ineq, xh, yh, res,
                        q_norm, c_norm, tol, *, eps_rel, gap_target=0.0,
                        max_passes=16, max_outer=3, max_matvecs=np.inf,
-                       skip_signature=None):
+                       skip_signature=None, incumbent_val=-np.inf):
     """Crossover-style host-fp64 polish of the incumbent pair.
 
     First-order iterates approach the optimal face geometrically slowly
@@ -410,11 +410,26 @@ def _active_set_polish(K64, c, q, l, u, m_ineq, xh, yh, res,
             matvecs += 1.0
             if val > best_y[0]:
                 best_y = (val, y_full)
+            first_val = pass_val == -np.inf
             if val > pass_val:
                 pass_val = val
                 no_gain = 0
             else:
                 no_gain += 1
+            if first_val and val < incumbent_val - 100.0 * max(
+                    abs(res.gap), 1e-12):
+                # Hopeless classification: the repaired dual's VALUE is
+                # orders below the incumbent's — the classified set is
+                # garbage (an unripe incumbent), and greedy repair from
+                # garbage burned ~20k passes/round on the round-4
+                # mittelmann-s-free chip run.  Skip the dual repair
+                # (the primal snap below still runs — it measurably
+                # ripens the incumbent: pres 1.1e-3 -> 3.9e-5 on the
+                # same run's round 0).
+                _dbg(f"polish-dual[{outer}]: hopeless "
+                     f"(val={val:.6e} incumbent={incumbent_val:.6e}); "
+                     "skipping repair")
+                break
             dist = np.where(r0 > 0, d_lo[ii], d_hi[ii])
             # A column with an infinite bound on its residual side can
             # never snap there (a drop would set x_j = +-inf); it
@@ -783,6 +798,7 @@ def solve_refined(problem, cfg: SolverConfig, *, solve_fn, **kw):
                     # the repair is deterministic given the sets, so the
                     # duplicate attempt returns immediately.
                     skip_signature=polish_sig,
+                    incumbent_val=res.adjusted_dual,
                 )
                 j_total += (mv + 1) // 2
                 if x_c is None:
