@@ -79,9 +79,13 @@ def _oracle_objective(problem, time_limit=900.0):
         )
         if res.status == 0:
             break
-    if res is None or res.status != 0:
-        return None
-    obj = float(res.fun) + getattr(problem, "obj_offset", 0.0)
+    obj = (
+        float(res.fun) + getattr(problem, "obj_offset", 0.0)
+        if res is not None and res.status == 0
+        else None  # cached too: a time-limited miss costs 2x the limit,
+        # and re-attempting it on every bench run burned ~30 min/run on
+        # mittelmann-l-free (HiGHS needs hours there)
+    )
     if name:
         cache[name] = obj
         with open(cache_path, "w") as f:

@@ -360,10 +360,10 @@ def _active_set_polish(K64, c, q, l, u, m_ineq, xh, yh, res,
             overdraw; the KKT budget is a parity contract."""
             rem = max_matvecs - matvecs
             if not np.isfinite(rem):
-                return 5000
+                return 20000
             if rem <= 0:
                 return 0
-            return int(min(5000, max(1.0, rem / max(
+            return int(min(20000, max(1.0, rem / max(
                 2.0 * _nnz_frac(Bm), 1e-12
             ))))
 
@@ -416,6 +416,18 @@ def _active_set_polish(K64, c, q, l, u, m_ineq, xh, yh, res,
                 no_gain = 0
             else:
                 no_gain += 1
+            if int(out[2]) >= it_cap and val < incumbent_val \
+                    and _lsmr_iter_cap(B) > 0:
+                # LSMR hit its iteration cap without beating the
+                # incumbent: the solve is UNCONVERGED, so neither the
+                # hopeless verdict nor a greedy move is justified (a
+                # transient r0 mis-ranks the drops — round 3 measured a
+                # 400-iteration transient at 6e-3 residual).  Continue
+                # the same system from the warm start (one more pass,
+                # still under the matvec budget).
+                _dbg(f"polish-dual[{outer}]: cap-hit at {int(out[2])} "
+                     f"(normr={float(out[3]):.2e}); continuing warm")
+                continue
             if first_val and val < incumbent_val - 100.0 * max(
                     abs(res.gap), 1e-12):
                 # Hopeless classification: the repaired dual's VALUE is
@@ -427,7 +439,9 @@ def _active_set_polish(K64, c, q, l, u, m_ineq, xh, yh, res,
                 # ripens the incumbent: pres 1.1e-3 -> 3.9e-5 on the
                 # same run's round 0).
                 _dbg(f"polish-dual[{outer}]: hopeless "
-                     f"(val={val:.6e} incumbent={incumbent_val:.6e}); "
+                     f"(val={val:.6e} incumbent={incumbent_val:.6e} "
+                     f"int={len(ii)} tight={int(tight.sum())} "
+                     f"normr={float(out[3]):.2e} it={int(out[2])}); "
                      "skipping repair")
                 break
             dist = np.where(r0 > 0, d_lo[ii], d_hi[ii])
