@@ -96,11 +96,22 @@ def _oracle_objective(problem, time_limit=900.0):
 def run(instance="mittelmann-s", tol=1e-8, seed=0, matrix_format="dense",
         warm=True, verbose=False, max_kkt=100_000, escalation_tol=None,
         chunk_kkt_max=None, abs_gap=False):
-    problems = {
-        p.name: p
-        for p in build_suite(("small", "medium", "large", "xl"))
-    }
-    problem = problems[instance]
+    if instance.startswith("banded-"):
+        # "banded-<n>-<m_ineq>-<m_eq>-<bandwidth>": the beyond-reference
+        # scale family (the reference's dense path cannot represent
+        # these at all — util.py:240-246 would need 40 GB at 100k).
+        from tpdlp.io.generator import generate_banded_lp
+
+        n_, mi_, me_, bw_ = (int(v) for v in instance.split("-")[1:])
+        problem = generate_banded_lp(n=n_, m_ineq=mi_, m_eq=me_,
+                                     bandwidth=bw_)
+        problem.name = instance
+    else:
+        problems = {
+            p.name: p
+            for p in build_suite(("small", "medium", "large", "xl"))
+        }
+        problem = problems[instance]
     extra = {}
     if escalation_tol is not None:
         extra["escalation_tol"] = escalation_tol
